@@ -1,0 +1,196 @@
+"""Sequence models: scan-based LSTM/GRU stacks + the SequenceModel head.
+
+Reference: audio_zen/model/module/sequence_model.py:5-123 (SequenceModel with
+LSTM | GRU | TCN bodies + Linear head + optional activation).
+
+TPU-first design:
+  * The input projection x_t @ W_ih for ALL timesteps is hoisted out of the
+    recurrence into one large [B*T, in] x [in, 4H] matmul (MXU-sized), so the
+    lax.scan body only contains the unavoidable h_t @ W_hh recurrence matmul.
+  * Gate weights are stored as single fused [_, 4H] matrices in torch's gate
+    order (i, f, g, o for LSTM; r, z, n for GRU) so torch checkpoints
+    transplant by transposition only.
+  * Matmuls run in `compute_dtype` (bf16 on TPU); the cell state carries in
+    fp32 for numerical stability.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from generative_audio_tpu.nn.tcn import TCNStack
+
+__all__ = ["LSTMLayer", "GRULayer", "SequenceModel"]
+
+
+def _uniform_init(hidden_size: int):
+    # torch RNN default: U(-1/sqrt(H), 1/sqrt(H))
+    bound = 1.0 / (hidden_size ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class LSTMLayer(nn.Module):
+    """Single (optionally bidirectional) LSTM layer over [B, T, F] input."""
+    hidden_size: int
+    bidirectional: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def _direction_params(self, input_size: int, suffix: str):
+        h = self.hidden_size
+        init = _uniform_init(h)
+        w_ih = self.param(f"w_ih{suffix}", init, (input_size, 4 * h))
+        w_hh = self.param(f"w_hh{suffix}", init, (h, 4 * h))
+        b_ih = self.param(f"b_ih{suffix}", init, (4 * h,))
+        b_hh = self.param(f"b_hh{suffix}", init, (4 * h,))
+        return w_ih, w_hh, b_ih + b_hh
+
+    def _scan(self, x, w_ih, w_hh, bias, reverse: bool):
+        h = self.hidden_size
+        cdt = self.compute_dtype
+        # Hoisted input projection: one big MXU matmul over all timesteps.
+        gates_x = jnp.einsum(
+            "btf,fg->btg", x.astype(cdt), w_ih.astype(cdt),
+            preferred_element_type=jnp.float32) + bias
+        w_hh_c = w_hh.astype(cdt)
+
+        def step(carry, gx):
+            h_prev, c_prev = carry
+            gates = gx + jnp.matmul(h_prev.astype(cdt), w_hh_c,
+                                    preferred_element_type=jnp.float32)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i = jax.nn.sigmoid(i)
+            f = jax.nn.sigmoid(f)
+            g = jnp.tanh(g)
+            o = jax.nn.sigmoid(o)
+            c = f * c_prev + i * g
+            h_new = o * jnp.tanh(c)
+            return (h_new, c), h_new
+
+        b = x.shape[0]
+        init = (jnp.zeros((b, h), jnp.float32), jnp.zeros((b, h), jnp.float32))
+        _, ys = jax.lax.scan(step, init, jnp.swapaxes(gates_x, 0, 1),
+                             reverse=reverse)
+        return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        input_size = x.shape[-1]
+        fwd = self._scan(x, *self._direction_params(input_size, ""),
+                         reverse=False)
+        if not self.bidirectional:
+            return fwd
+        bwd = self._scan(x, *self._direction_params(input_size, "_reverse"),
+                         reverse=True)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class GRULayer(nn.Module):
+    """Single (optionally bidirectional) GRU layer over [B, T, F] input."""
+    hidden_size: int
+    bidirectional: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def _direction_params(self, input_size: int, suffix: str):
+        h = self.hidden_size
+        init = _uniform_init(h)
+        w_ih = self.param(f"w_ih{suffix}", init, (input_size, 3 * h))
+        w_hh = self.param(f"w_hh{suffix}", init, (h, 3 * h))
+        b_ih = self.param(f"b_ih{suffix}", init, (3 * h,))
+        b_hh = self.param(f"b_hh{suffix}", init, (3 * h,))
+        return w_ih, w_hh, b_ih, b_hh
+
+    def _scan(self, x, w_ih, w_hh, b_ih, b_hh, reverse: bool):
+        h = self.hidden_size
+        cdt = self.compute_dtype
+        gates_x = jnp.einsum(
+            "btf,fg->btg", x.astype(cdt), w_ih.astype(cdt),
+            preferred_element_type=jnp.float32) + b_ih
+        w_hh_c = w_hh.astype(cdt)
+
+        def step(h_prev, gx):
+            gates_h = jnp.matmul(h_prev.astype(cdt), w_hh_c,
+                                 preferred_element_type=jnp.float32) + b_hh
+            xr, xz, xn = jnp.split(gx, 3, axis=-1)
+            hr, hz, hn = jnp.split(gates_h, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1.0 - z) * n + z * h_prev
+            return h_new, h_new
+
+        b = x.shape[0]
+        _, ys = jax.lax.scan(step, jnp.zeros((b, h), jnp.float32),
+                             jnp.swapaxes(gates_x, 0, 1), reverse=reverse)
+        return jnp.swapaxes(ys, 0, 1)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        input_size = x.shape[-1]
+        fwd = self._scan(x, *self._direction_params(input_size, ""),
+                         reverse=False)
+        if not self.bidirectional:
+            return fwd
+        bwd = self._scan(x, *self._direction_params(input_size, "_reverse"),
+                         reverse=True)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+_ACTIVATIONS = {
+    "Tanh": jnp.tanh,
+    "ReLU": jax.nn.relu,
+    "ReLU6": lambda x: jnp.clip(x, 0.0, 6.0),
+}
+
+
+class SequenceModel(nn.Module):
+    """LSTM/GRU/TCN body + Linear head + optional output activation.
+
+    Public layout matches the reference: input [B, F, T] -> output [B, F', T]
+    (sequence_model.py:100-123).
+    """
+    input_size: int
+    output_size: int
+    hidden_size: int
+    num_layers: int = 2
+    bidirectional: bool = False
+    sequence_model: str = "GRU"
+    output_activate_function: Optional[str] = "Tanh"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert x.ndim == 3, f"expected [B, F, T], got {x.shape}"
+        kind = self.sequence_model
+        if kind in ("TCN", "TCN-subband"):
+            y = TCNStack(
+                channels=self.input_size,
+                hidden_channels=(self.hidden_size if kind == "TCN-subband"
+                                 else 512),
+                compute_dtype=self.compute_dtype,
+                name="tcn",
+            )(x)                                       # [B, F, T]
+            y = jnp.swapaxes(y, 1, 2)                  # [B, T, F]
+        elif kind in ("LSTM", "GRU"):
+            y = jnp.swapaxes(x, 1, 2)                  # [B, T, F]
+            layer_cls = LSTMLayer if kind == "LSTM" else GRULayer
+            for i in range(self.num_layers):
+                y = layer_cls(hidden_size=self.hidden_size,
+                              bidirectional=self.bidirectional,
+                              compute_dtype=self.compute_dtype,
+                              name=f"layer_{i}")(y)
+        else:
+            raise NotImplementedError(f"Not implemented {kind}")
+
+        y = nn.Dense(self.output_size, name="fc_output_layer",
+                     dtype=self.compute_dtype, param_dtype=jnp.float32)(y)
+        y = y.astype(jnp.float32)
+        if self.output_activate_function:
+            y = _ACTIVATIONS[self.output_activate_function](y)
+        return jnp.swapaxes(y, 1, 2)                   # [B, F', T]

@@ -1,0 +1,80 @@
+"""Sub-band frequency unfolding and training-time band decimation (drop_band).
+
+Reference semantics:
+  unfold   — audio_zen/model/base_model.py:14-46 (reflect-pad +/-n along F,
+             extract all (2n+1)-wide windows).
+  drop_band — audio_zen/acoustics/feature.py:254-285 (group g of the batch keeps
+             frequencies g::G; the batch and frequency axes are coupled).
+
+TPU-first design: both are expressed as static gathers over a reflect-padded
+array — no F.unfold im2col materialization, no per-group index_select python
+loop; XLA lowers the static `take` to an efficient strided copy it can fuse.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["band_unfold", "drop_band"]
+
+
+def band_unfold(x: jnp.ndarray, num_neighbors: int) -> jnp.ndarray:
+    """Split overlapped sub-band units along the frequency axis.
+
+    Args:
+        x: [B, C, F, T]
+        num_neighbors: window half-width n; the window size is 2n+1.
+    Returns:
+        [B, F, C, 2n+1, T] — matches BaseModel.unfold (base_model.py:14-46).
+    """
+    assert x.ndim == 4, f"expected [B, C, F, T], got {x.shape}"
+    b, c, f, t = x.shape
+    if num_neighbors < 1:
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, f, c, 1, t)
+
+    n = num_neighbors
+    width = 2 * n + 1
+    padded = jnp.pad(x, ((0, 0), (0, 0), (n, n), (0, 0)), mode="reflect")
+    # gather index [F, width]: window w of center f covers padded[f : f+width]
+    idx = np.arange(f)[:, None] + np.arange(width)[None, :]
+    windows = padded[:, :, idx, :]                    # [B, C, F, width, T]
+    return jnp.transpose(windows, (0, 2, 1, 3, 4))    # [B, F, C, width, T]
+
+
+def drop_band(x: jnp.ndarray, num_groups: int = 2) -> jnp.ndarray:
+    """Training-time sub-band decimation coupling batch and frequency axes.
+
+    Group g (samples g, g+G, g+2G, ...) keeps frequencies g, g+G, g+2G, ...
+    Output batch order is group-major, exactly like the reference's
+    torch.cat over per-group index_selects (feature.py:274-285).
+
+    Args:
+        x: [B, C, F, T]
+    Returns:
+        [B, C, F // num_groups, T]
+    """
+    batch_size, _, num_freqs, _ = x.shape
+    assert batch_size > num_groups, (
+        f"Batch size = {batch_size}, num_groups = {num_groups}. The batch size "
+        f"should be larger than the number of groups.")
+    if num_groups <= 1:
+        return x
+
+    if num_freqs % num_groups != 0:
+        x = x[:, :, : num_freqs - (num_freqs % num_groups), :]
+        num_freqs = x.shape[2]
+
+    # Static gather indices (shapes known at trace time — XLA-friendly).
+    sample_idx = np.concatenate(
+        [np.arange(g, batch_size, num_groups) for g in range(num_groups)])
+    # Per output row, which frequency stride offset applies:
+    freq_rows = []
+    for g in range(num_groups):
+        n_samples = len(np.arange(g, batch_size, num_groups))
+        freq_rows.append(np.tile(np.arange(g, num_freqs, num_groups),
+                                 (n_samples, 1)))
+    freq_idx = np.concatenate(freq_rows, axis=0)      # [B_out, F//G]
+
+    out = x[sample_idx]                               # [B_out, C, F, T]
+    out = jnp.take_along_axis(out, freq_idx[:, None, :, None], axis=2)
+    return out
