@@ -1,0 +1,218 @@
+"""Convert reference PyTorch state_dicts into generative_audio_tpu flax params.
+
+This is the checkpoint-transplant path: the public FullSubNet+ `best_model.tar`
+(and any reference-trained UNet/NPPC checkpoint) loads into the JAX models
+with bit-faithful forward behavior. Conversion logic works on plain dicts of
+numpy arrays, so torch is only needed to *read* .tar/.pt files.
+
+Key layout transforms:
+  torch Linear  W [out, in]            -> flax Dense kernel [in, out]
+  torch Conv1d  W [out, in/g, k]       -> flax Conv kernel [k, in/g, out]
+  torch Conv2d  W [out, in/g, kh, kw]  -> flax Conv kernel [kh, kw, in/g, out]
+  torch LSTM/GRU weight_ih_l{n} [G*H, in] -> w_ih [in, G*H]  (gate order kept)
+
+Reference checkpoint formats:
+  FullSubNet+ .tar: {"model": state_dict} (base_trainer.py:160-201,
+  /root/reference/utils.py:82-99); author trainers .pt:
+  {"model_state_dict": ...} (nppc_trainer.py:604-628).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+__all__ = [
+    "load_torch_state_dict",
+    "convert_sequence_model",
+    "convert_tsse",
+    "convert_se",
+    "convert_fullsubnet_plus",
+    "convert_fullsubnet",
+    "convert_multidirection",
+    "convert_unet",
+]
+
+Params = Dict[str, Any]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint file into {name: np.ndarray}. Handles the
+    reference's .tar ({"model": sd}) and .pt ({"model_state_dict": sd})
+    wrappers as well as bare state_dicts."""
+    import torch  # local import: only needed when actually reading torch files
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, Mapping):
+        for key in ("model", "model_state_dict", "state_dict"):
+            if key in ckpt and isinstance(ckpt[key], Mapping):
+                ckpt = ckpt[key]
+                break
+    return {k: np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v)
+            for k, v in ckpt.items()}
+
+
+def _np(sd, key):
+    v = sd[key]
+    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+
+def _dense(sd, prefix):
+    return {"kernel": _np(sd, f"{prefix}.weight").T,
+            "bias": _np(sd, f"{prefix}.bias")}
+
+
+def _conv1d(sd, prefix, bias=True):
+    out = {"kernel": _np(sd, f"{prefix}.weight").transpose(2, 1, 0)}
+    if bias:
+        out["bias"] = _np(sd, f"{prefix}.bias")
+    return out
+
+
+def _conv2d(sd, prefix, bias=True):
+    out = {"kernel": _np(sd, f"{prefix}.weight").transpose(2, 3, 1, 0)}
+    if bias:
+        out["bias"] = _np(sd, f"{prefix}.bias")
+    return out
+
+
+def convert_sequence_model(sd, prefix: str, kind: str,
+                           num_layers: int = 2,
+                           bidirectional: bool = False) -> Params:
+    """SequenceModel (sequence_model.py:5-123) -> recurrent.SequenceModel."""
+    params: Params = {}
+    if kind in ("LSTM", "GRU"):
+        for layer in range(num_layers):
+            entry = {}
+            for suffix, tsuffix in [("", ""), ("_reverse", "_reverse")]:
+                if suffix and not bidirectional:
+                    continue
+                entry[f"w_ih{suffix}"] = _np(
+                    sd, f"{prefix}sequence_model.weight_ih_l{layer}{tsuffix}").T
+                entry[f"w_hh{suffix}"] = _np(
+                    sd, f"{prefix}sequence_model.weight_hh_l{layer}{tsuffix}").T
+                entry[f"b_ih{suffix}"] = _np(
+                    sd, f"{prefix}sequence_model.bias_ih_l{layer}{tsuffix}")
+                entry[f"b_hh{suffix}"] = _np(
+                    sd, f"{prefix}sequence_model.bias_hh_l{layer}{tsuffix}")
+            params[f"layer_{layer}"] = entry
+    elif kind in ("TCN", "TCN-subband"):
+        blocks: Params = {}
+        for i in range(8):
+            p = f"{prefix}sequence_model.{i}."
+            blocks[f"block_{i}"] = {
+                # 1x1 convs are Dense layers in the flax model
+                "conv1x1": {
+                    "kernel": _np(sd, p + "conv1x1.weight")[:, :, 0].T,
+                    "bias": _np(sd, p + "conv1x1.bias")},
+                "prelu1": _np(sd, p + "prelu1.weight"),
+                "norm1": {"scale": _np(sd, p + "norm1.weight"),
+                          "bias": _np(sd, p + "norm1.bias")},
+                "depthwise_conv": _conv1d(sd, p + "depthwise_conv"),
+                "prelu2": _np(sd, p + "prelu2.weight"),
+                "norm2": {"scale": _np(sd, p + "norm2.weight"),
+                          "bias": _np(sd, p + "norm2.bias")},
+                "sconv": {"kernel": _np(sd, p + "sconv.weight")[:, :, 0].T,
+                          "bias": _np(sd, p + "sconv.bias")},
+            }
+        params["tcn"] = blocks
+    else:
+        raise NotImplementedError(kind)
+    params["fc_output_layer"] = _dense(sd, f"{prefix}fc_output_layer")
+    return params
+
+
+def convert_tsse(sd, prefix: str) -> Params:
+    """ChannelTimeSenseSELayer (attention_model.py:43-100)."""
+    return {
+        "smallConv1d": {"conv": _conv1d(sd, f"{prefix}smallConv1d.0")},
+        "middleConv1d": {"conv": _conv1d(sd, f"{prefix}middleConv1d.0")},
+        "largeConv1d": {"conv": _conv1d(sd, f"{prefix}largeConv1d.0")},
+        "feature_concate_fc": _dense(sd, f"{prefix}feature_concate_fc"),
+        "fc1": _dense(sd, f"{prefix}fc1"),
+        "fc2": _dense(sd, f"{prefix}fc2"),
+    }
+
+
+def convert_se(sd, prefix: str) -> Params:
+    """ChannelSELayer (attention_model.py:6-41)."""
+    return {"fc1": _dense(sd, f"{prefix}fc1"),
+            "fc2": _dense(sd, f"{prefix}fc2")}
+
+
+def _convert_attention(sd, prefix: str, kind: str) -> Params:
+    if kind == "TSSE":
+        return convert_tsse(sd, prefix)
+    if kind in ("SE", "CBAM"):
+        return convert_se(sd, prefix)
+    if kind == "ECA":
+        return {"conv": {"kernel": _np(sd, f"{prefix}conv.weight")
+                         .transpose(2, 1, 0)}}
+    raise NotImplementedError(kind)
+
+
+def convert_fullsubnet_plus(sd, sequence_model: str = "LSTM",
+                            attention: str = "TSSE") -> Params:
+    """FullSubNet_Plus state_dict -> models.FullSubNetPlus params
+    (fullsubnet_plus.py:46-143)."""
+    return {
+        "channel_attention": _convert_attention(sd, "channel_attention.", attention),
+        "channel_attention_real": _convert_attention(sd, "channel_attention_real.", attention),
+        "channel_attention_imag": _convert_attention(sd, "channel_attention_imag.", attention),
+        "fb_model": convert_sequence_model(sd, "fb_model.", "TCN"),
+        "fb_model_real": convert_sequence_model(sd, "fb_model_real.", "TCN"),
+        "fb_model_imag": convert_sequence_model(sd, "fb_model_imag.", "TCN"),
+        "sb_model": convert_sequence_model(sd, "sb_model.", sequence_model),
+    }
+
+
+def convert_fullsubnet(sd, sequence_model: str = "LSTM") -> Params:
+    """FullSubNet (v1) state_dict -> models.FullSubNet params
+    (fullsubnet/model/fullsubnet.py:12-118)."""
+    return {
+        "fb_model": convert_sequence_model(sd, "fb_model.", sequence_model),
+        "sb_model": convert_sequence_model(sd, "sb_model.", sequence_model),
+    }
+
+
+convert_multidirection = convert_fullsubnet_plus
+
+
+def _double_conv(sd, prefix, dropout=False):
+    return {
+        "conv0": _conv2d(sd, f"{prefix}conv.0"),
+        "bn0": _bn(sd, f"{prefix}conv.1"),
+        "conv1": _conv2d(sd, f"{prefix}conv.3"),
+        "bn1": _bn(sd, f"{prefix}conv.4"),
+    }
+
+
+def _bn(sd, prefix):
+    return {"scale": _np(sd, f"{prefix}.weight"),
+            "bias": _np(sd, f"{prefix}.bias")}
+
+
+def _bn_stats(sd, prefix):
+    return {"mean": _np(sd, f"{prefix}.running_mean"),
+            "var": _np(sd, f"{prefix}.running_var")}
+
+
+def _double_conv_stats(sd, prefix):
+    return {"bn0": _bn_stats(sd, f"{prefix}conv.1"),
+            "bn1": _bn_stats(sd, f"{prefix}conv.4")}
+
+
+def convert_unet(sd, prefix: str = "") -> Dict[str, Params]:
+    """Inpainting UNet (unet.py:247-291 + tmp_utils.py) ->
+    {"params": ..., "batch_stats": ...} for nn.unet.UNet."""
+    params: Params = {"inc": _double_conv(sd, f"{prefix}inc.conv.")}
+    stats: Params = {"inc": _double_conv_stats(sd, f"{prefix}inc.conv.")}
+    for i in range(1, 5):
+        params[f"down{i}"] = {"conv": _double_conv(sd, f"{prefix}down{i}.mpconv.1.")}
+        stats[f"down{i}"] = {"conv": _double_conv_stats(sd, f"{prefix}down{i}.mpconv.1.")}
+    for i in range(1, 5):
+        params[f"up{i}"] = {"conv": _double_conv(sd, f"{prefix}up{i}.conv.")}
+        stats[f"up{i}"] = {"conv": _double_conv_stats(sd, f"{prefix}up{i}.conv.")}
+    params["outc"] = _conv2d(sd, f"{prefix}outc.conv")
+    return {"params": params, "batch_stats": stats}
