@@ -1,0 +1,131 @@
+"""Training objectives.
+
+References:
+  cIRM MSE           — fullsubnet_plus/trainer/trainer.py:349-353 (MSE between
+                       gt compressed cIRM after drop_band and predicted cRM)
+  masked MSE         — inpainting/trainer/restoration_trainer.py:178-200
+                       (sum((out-clean)^2 * (1-mask)) / sum(1-mask))
+  NPPC objective     — nppc/nppc.py:510-559 (canonical), inpainting
+                       nppc_trainer.py:609-656 (real, eps 1e-6), denoising
+                       nppc_audio/trainer.py:234-317 (complex, eps 1e-8,
+                       |err_proj| magnitude)
+  lambda ramp        — nppc_trainer.py:680-687: -1 + 2*step/grace, clamped to
+                       [1e-6, 1], scaled by second_moment_loss_lambda.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "cirm_mse_loss",
+    "masked_mse_loss",
+    "second_moment_lambda",
+    "nppc_objective_real",
+    "nppc_objective_complex",
+]
+
+
+def cirm_mse_loss(pred_crm: jnp.ndarray, gt_cirm: jnp.ndarray) -> jnp.ndarray:
+    """Plain MSE over compressed masks (both [B, 2, F', T])."""
+    return jnp.mean(jnp.square(pred_crm - gt_cirm))
+
+
+def masked_mse_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                    mask: jnp.ndarray) -> jnp.ndarray:
+    """MSE restricted to the gap (mask == 0 is the inpainted region).
+    Ref restoration_trainer.py:193-199."""
+    gap = 1.0 - mask
+    return jnp.sum(jnp.square(pred - target) * gap) / jnp.sum(gap)
+
+
+def second_moment_lambda(step: jnp.ndarray, grace: int,
+                         scale: float = 1.0) -> jnp.ndarray:
+    """λ ramp: -1 -> 1 over `grace` steps, clamped to [1e-6, 1], x scale."""
+    lam = -1.0 + 2.0 * step / grace
+    return jnp.clip(lam, 1e-6, 1.0) * scale
+
+
+def nppc_objective_real(w_mat: jnp.ndarray, err: jnp.ndarray,
+                        step: jnp.ndarray, grace: int,
+                        lambda_scale: float = 1.0,
+                        eps: float = 1e-6
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+    """The inpainting-line NPPC loss.
+
+    Args:
+        w_mat: [B, n_dirs, ...] PC directions (post Gram-Schmidt).
+        err:   [B, ...] restoration error (clean - frozen prediction).
+        step:  global step (for the λ ramp).
+    Returns:
+        (reconst_err [B], objective scalar, log dict).
+    Ref nppc_trainer.py:609-656.
+    """
+    b, n_dirs = w_mat.shape[:2]
+    w_flat = w_mat.reshape(b, n_dirs, -1)
+    w_norms = jnp.linalg.norm(w_flat, axis=2) + eps          # [B, n_dirs]
+    w_hat = w_flat / w_norms[:, :, None]
+
+    e = err.reshape(b, -1)
+    err_norm = jnp.linalg.norm(e, axis=1) + eps              # [B]
+    e = e / err_norm[:, None]
+    w_norms = w_norms / err_norm[:, None]
+
+    err_proj = jnp.einsum("bki,bi->bk", w_hat, e)            # [B, n_dirs]
+    reconst_err = 1.0 - jnp.sum(jnp.square(err_proj), axis=1)
+    second_moment_mse = jnp.square(
+        jnp.square(w_norms) - lax.stop_gradient(jnp.square(err_proj)))
+
+    lam = second_moment_lambda(step, grace, lambda_scale)
+    objective = jnp.mean(reconst_err) + lam * jnp.mean(second_moment_mse)
+    log = {"err_proj": err_proj, "w_norms": w_norms,
+           "reconst_err": reconst_err,
+           "second_moment_mse": second_moment_mse,
+           "second_moment_lambda": lam}
+    return reconst_err, objective, log
+
+
+def nppc_objective_complex(w_mat: jnp.ndarray, gt_crm: jnp.ndarray,
+                           pred_crm: jnp.ndarray, step: jnp.ndarray,
+                           grace: int, lambda_scale: float = 1.0,
+                           eps: float = 1e-8
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+    """The denoising-line NPPC loss in cRM space (complex math in real pairs —
+    no complex dtype on TPU).
+
+    Args:
+        w_mat: [B, n_dirs, 2, F, T] cRM directions.
+        gt_crm, pred_crm: [B, 2, F', T] compressed masks (post drop_band).
+    Ref nppc_audio/trainer.py:234-317.
+    """
+    b, n_dirs = w_mat.shape[:2]
+    w_flat = w_mat.reshape(b, n_dirs, 2, -1)                 # [B, K, 2, D]
+    w_norms = jnp.sqrt(jnp.sum(jnp.square(w_flat), axis=(2, 3)))  # [B, K]
+    w_hat = w_flat / (w_norms[:, :, None, None] + eps)
+
+    err = (gt_crm - pred_crm).reshape(b, 2, -1)              # [B, 2, D]
+    err_norm = jnp.sqrt(jnp.sum(jnp.square(err), axis=(1, 2)))
+    err = err / (err_norm[:, None, None] + eps)
+    w_norms = w_norms / (err_norm[:, None] + eps)
+
+    # err_proj = sum(conj(w_hat) * err) over D, complex in real pairs:
+    # (wr - i wi) (er + i ei) = (wr*er + wi*ei) + i (wr*ei - wi*er)
+    wr, wi = w_hat[:, :, 0], w_hat[:, :, 1]                  # [B, K, D]
+    er, ei = err[:, 0][:, None], err[:, 1][:, None]          # [B, 1, D]
+    proj_r = jnp.sum(wr * er + wi * ei, axis=-1)             # [B, K]
+    proj_i = jnp.sum(wr * ei - wi * er, axis=-1)
+    err_proj_mag = jnp.sqrt(proj_r ** 2 + proj_i ** 2)
+
+    reconst_err = 1.0 - jnp.sum(jnp.square(err_proj_mag), axis=1)
+    second_moment_mse = jnp.square(
+        jnp.square(w_norms)
+        - lax.stop_gradient(jnp.square(err_proj_mag)))
+    lam = second_moment_lambda(step, grace, lambda_scale)
+    objective = jnp.mean(reconst_err) + lam * jnp.mean(second_moment_mse)
+    log = {"err_proj_mag": err_proj_mag, "w_norms": w_norms,
+           "reconst_err": reconst_err,
+           "second_moment_mse": second_moment_mse,
+           "second_moment_lambda": lam}
+    return reconst_err, objective, log

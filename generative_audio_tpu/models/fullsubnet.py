@@ -8,6 +8,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -36,6 +37,7 @@ class FullSubNetConfig:
 class FullSubNet(nn.Module):
     config: FullSubNetConfig = FullSubNetConfig()
     compute_dtype: jnp.dtype = jnp.float32
+    subband_sharding: Optional[object] = None
 
     @nn.compact
     def __call__(self, noisy_mag: jnp.ndarray) -> jnp.ndarray:
@@ -73,6 +75,9 @@ class FullSubNet(nn.Module):
             sb_input = jnp.transpose(sb_input, (0, 2, 1, 3))
 
         sb_input = sb_input.reshape(b * num_freqs, sb_w + fb_w, t)
+        if self.subband_sharding is not None:
+            sb_input = jax.lax.with_sharding_constraint(
+                sb_input, self.subband_sharding)
         sb_model = SequenceModel(
             input_size=sb_w + fb_w, output_size=2,
             hidden_size=c.sb_model_hidden_size, num_layers=2,

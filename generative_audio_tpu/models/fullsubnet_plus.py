@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -62,6 +63,10 @@ class FullSubNetPlusConfig:
 class FullSubNetPlus(nn.Module):
     config: FullSubNetPlusConfig = FullSubNetPlusConfig()
     compute_dtype: jnp.dtype = jnp.float32
+    # Optional NamedSharding for the fused [B*F, C, T] sub-band batch
+    # (parallel.mesh.subband_sharding) — spreads the hot LSTM across
+    # the ("data", "band") mesh.
+    subband_sharding: Optional[object] = None
 
     def _make_seq(self, name: str, input_size: int, output_size: int,
                   hidden: int, kind: str, act: Optional[str]):
@@ -156,6 +161,9 @@ class FullSubNetPlus(nn.Module):
             sb_input = jnp.transpose(sb_input, (0, 2, 1, 3))
 
         sb_input = sb_input.reshape(b * num_freqs, sb_w + 3 * fb_w, t)
+        if self.subband_sharding is not None:
+            sb_input = jax.lax.with_sharding_constraint(
+                sb_input, self.subband_sharding)
         sb_model = self._make_seq("sb_model", sb_w + 3 * fb_w, c.output_size,
                                   c.sb_model_hidden_size, c.sequence_model,
                                   c.sb_output_activate_function)
@@ -176,6 +184,7 @@ class MultiDirectionFullSubNetPlus(nn.Module):
     streams, emitting n_directions cRMs. Ref nppc_audio/networks.py:17-163."""
     config: MultiDirectionConfig = MultiDirectionConfig()
     compute_dtype: jnp.dtype = jnp.float32
+    subband_sharding: Optional[object] = None
 
     @nn.compact
     def __call__(self, noisy_mag, noisy_real, noisy_imag,
@@ -245,6 +254,9 @@ class MultiDirectionFullSubNetPlus(nn.Module):
             sb_input = jnp.transpose(sb_input, (0, 2, 1, 3))
 
         sb_input = sb_input.reshape(b * num_freqs, sb_w + 3 * fb_w, t)
+        if self.subband_sharding is not None:
+            sb_input = jax.lax.with_sharding_constraint(
+                sb_input, self.subband_sharding)
         sb_model = SequenceModel(
             input_size=sb_w + 3 * fb_w, output_size=output_size,
             hidden_size=c.sb_model_hidden_size, num_layers=2,

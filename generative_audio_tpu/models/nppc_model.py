@@ -26,7 +26,7 @@ from generative_audio_tpu.models.fullsubnet_plus import (
 from generative_audio_tpu.models.pc_wrapper import (
     AudioPCWrapper, AudioInpaintingPCWrapper, AudioInpaintingPCWrapperConfig)
 from generative_audio_tpu.nn.unet import UNet, RestorationWrapper
-from generative_audio_tpu.ops import stft as stft_ops
+from generative_audio_tpu.ops.stft import stft_ri, prepare_input_from_waveform
 from generative_audio_tpu.ops.mask import decompress_cIRM, crm_to_stft_components
 
 __all__ = [
@@ -67,7 +67,7 @@ class DenoisingNPPCModel(nn.Module):
 
     def _stft_triplet(self, waveform: jnp.ndarray):
         s = self.config.stft
-        return stft_ops.prepare_input_from_waveform(
+        return prepare_input_from_waveform(
             waveform, s.nfft, s.hop_length, s.win_length)
 
     def __call__(self, noisy_waveform: jnp.ndarray) -> jnp.ndarray:

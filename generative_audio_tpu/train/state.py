@@ -1,0 +1,55 @@
+"""Train state: params + optimizer + step (+ mutable batch stats for BN nets).
+
+Reference training semantics being reproduced (SURVEY.md §2.9/§5.4):
+  * Adam/AdamW with config args (nppc/auxil.py:257-330, trainers)
+  * global-norm gradient clipping (10.0 enhancement trainer.py:352; 5.0
+    restoration_trainer.py:135; 1.0 nppc_trainer.py:152)
+  * step counting for the NPPC λ ramp.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+__all__ = ["TrainState", "create_train_state", "make_optimizer"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    batch_stats: Any = None
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                                self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state,
+            batch_stats=(new_batch_stats if new_batch_stats is not None
+                         else self.batch_stats))
+
+
+def make_optimizer(learning_rate: float = 1e-3, betas=(0.9, 0.999),
+                   weight_decay: float = 0.0, clip_norm: Optional[float] = None,
+                   optimizer: str = "Adam") -> optax.GradientTransformation:
+    if optimizer.lower() == "adamw":
+        tx = optax.adamw(learning_rate, b1=betas[0], b2=betas[1],
+                         weight_decay=weight_decay)
+    else:
+        tx = optax.adam(learning_rate, b1=betas[0], b2=betas[1])
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx
+
+
+def create_train_state(params, tx: optax.GradientTransformation,
+                       batch_stats=None) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), batch_stats=batch_stats,
+                      tx=tx)

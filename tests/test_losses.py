@@ -1,0 +1,101 @@
+"""Golden tests for the training objectives vs torch rederivations of the
+reference formulas (nppc_trainer.py:609-687, nppc_audio/trainer.py:234-317,
+restoration_trainer.py:178-200)."""
+import numpy as np
+import torch
+
+from generative_audio_tpu import losses
+
+
+def test_masked_mse(rng):
+    pred = rng.standard_normal((2, 1, 8, 10)).astype(np.float32)
+    tgt = rng.standard_normal((2, 1, 8, 10)).astype(np.float32)
+    mask = (rng.uniform(size=(2, 1, 8, 10)) > 0.4).astype(np.float32)
+    out = float(losses.masked_mse_loss(pred, tgt, mask))
+    tp, tt, tm = map(torch.from_numpy, (pred, tgt, mask))
+    ref = (((tp - tt) ** 2) * (1 - tm)).sum() / (1 - tm).sum()
+    np.testing.assert_allclose(out, float(ref), rtol=1e-5)
+
+
+def test_lambda_ramp():
+    # -1 + 2*step/grace clamped to [1e-6, 1]
+    np.testing.assert_allclose(
+        float(losses.second_moment_lambda(np.float32(0), 500)), 1e-6,
+        rtol=1e-4)
+    np.testing.assert_allclose(
+        float(losses.second_moment_lambda(np.float32(375), 500)), 0.5,
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        float(losses.second_moment_lambda(np.float32(10000), 500)), 1.0,
+        rtol=1e-6)
+
+
+def test_nppc_objective_real_matches_reference(rng):
+    w_mat = rng.standard_normal((3, 5, 16, 12)).astype(np.float32)
+    err = rng.standard_normal((3, 1, 16, 12)).astype(np.float32)
+    step = np.float32(600)
+    reconst, obj, log = losses.nppc_objective_real(
+        w_mat, err, step, grace=500, lambda_scale=1.0)
+
+    # torch rederivation (nppc_trainer.py:616-656, 680-687)
+    tw = torch.from_numpy(w_mat).flatten(2)
+    w_norms = tw.norm(dim=2) + 1e-6
+    w_hat = tw / w_norms[:, :, None]
+    e = torch.from_numpy(err).flatten(1)
+    err_norm = e.norm(dim=1) + 1e-6
+    e = e / err_norm[:, None]
+    w_norms = w_norms / err_norm[:, None]
+    err_proj = torch.einsum("bki,bi->bk", w_hat, e)
+    reconst_ref = 1 - err_proj.pow(2).sum(dim=1)
+    smm = (w_norms.pow(2) - err_proj.detach().pow(2)).pow(2)
+    lam = min(max(-1 + 2 * 600 / 500, 1e-6), 1)
+    obj_ref = reconst_ref.mean() + lam * smm.mean()
+
+    np.testing.assert_allclose(np.asarray(reconst), reconst_ref.numpy(),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(obj), float(obj_ref), rtol=1e-4)
+
+
+def test_nppc_objective_complex_matches_reference(rng):
+    w_mat = rng.standard_normal((2, 4, 2, 8, 6)).astype(np.float32)
+    gt = rng.standard_normal((2, 2, 8, 6)).astype(np.float32)
+    pred = rng.standard_normal((2, 2, 8, 6)).astype(np.float32)
+    step = np.float32(100)
+    reconst, obj, log = losses.nppc_objective_complex(
+        w_mat, gt, pred, step, grace=500, lambda_scale=1.0)
+
+    # torch rederivation (nppc_audio/trainer.py:253-305)
+    tw = torch.from_numpy(w_mat).reshape(2, 4, 2, -1)
+    w_norms = torch.norm(tw, dim=(2, 3))
+    w_hat = tw / (w_norms[..., None, None] + 1e-8)
+    e = (torch.from_numpy(gt) - torch.from_numpy(pred)).reshape(2, 2, -1)
+    err_norm = torch.norm(e, dim=(1, 2))
+    e = e / (err_norm[:, None, None] + 1e-8)
+    w_norms = w_norms / (err_norm[:, None] + 1e-8)
+    ec = torch.complex(e[:, 0], e[:, 1])
+    wc = torch.complex(w_hat[:, :, 0], w_hat[:, :, 1])
+    err_proj = torch.sum(wc.conj() * ec[:, None], dim=-1)
+    err_proj_mag = torch.abs(err_proj)
+    reconst_ref = 1 - err_proj_mag.pow(2).sum(dim=1)
+    smm = (w_norms.pow(2) - err_proj_mag.detach().pow(2)).pow(2)
+    lam = min(max(-1 + 2 * 100 / 500, 1e-6), 1)
+    obj_ref = reconst_ref.mean() + lam * smm.mean()
+
+    np.testing.assert_allclose(np.asarray(reconst), reconst_ref.numpy(),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(obj), float(obj_ref), rtol=1e-4)
+
+
+def test_nppc_real_gradient_pattern(rng):
+    """second-moment term must not backprop through err_proj (detached)."""
+    import jax
+    w = rng.standard_normal((1, 2, 10)).astype(np.float32)
+    e = rng.standard_normal((1, 10)).astype(np.float32)
+
+    def obj(w):
+        _, o, _ = losses.nppc_objective_real(w, e, np.float32(10000),
+                                             grace=500)
+        return o
+
+    g = jax.grad(obj)(w)
+    assert np.all(np.isfinite(np.asarray(g)))
