@@ -1,0 +1,163 @@
+"""Data pipeline tests: I/O roundtrip, mixing SNR accuracy, dataset shapes,
+frame-mask semantics vs the reference's python loop, loader sharding."""
+import numpy as np
+import pytest
+
+from generative_audio_tpu import data as D
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    clean_dir, noise_dir = D.write_synthetic_corpus(root, n_clean=4, n_noise=3)
+    return root, clean_dir, noise_dir
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    y = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    D.write_wav(tmp_path / "a.wav", y, 16000)
+    sr, back = D.read_wav(tmp_path / "a.wav")
+    assert sr == 16000
+    np.testing.assert_allclose(back, y, atol=1e-4)
+
+
+def test_resample_halves_length(rng):
+    y = rng.standard_normal(16000).astype(np.float32)
+    out = D.resample(y, 16000, 8000)
+    assert len(out) == 8000
+
+
+def test_mix_with_snr_achieves_snr(rng):
+    clean = np.sin(2 * np.pi * 440 * np.arange(48000) / 16000).astype(np.float32)
+    noise = rng.standard_normal(48000).astype(np.float32)
+    noisy, clean_out = D.mix_with_snr(clean, noise, snr=10.0)
+    resid = noisy - clean_out
+    snr_est = 10 * np.log10(np.mean(clean_out ** 2) / np.mean(resid ** 2))
+    assert abs(snr_est - 10.0) < 0.5
+
+
+def test_dns_snr_mix_runs(rng):
+    clean = rng.standard_normal(16000).astype(np.float32)
+    noise = rng.standard_normal(16000).astype(np.float32)
+    rir = np.zeros(1000, np.float32)
+    rir[0] = 1.0
+    noisy, clean_out = D.snr_mix(clean, noise, snr=5, target_dB_FS=-25,
+                                 target_dB_FS_floating_value=10, rir=rir,
+                                 rng=rng)
+    assert noisy.shape == clean_out.shape == (16000,)
+    assert np.max(np.abs(noisy)) <= 0.99 + 1e-6
+
+
+def test_audio_dataset(corpus):
+    root, clean_dir, noise_dir = corpus
+    ds = D.AudioDataset(D.AudioDataSetConfig(
+        clean_path=str(clean_dir), noisy_path=str(noise_dir),
+        sub_sample_length_seconds=2.0), seed=0)
+    noisy, clean = ds[0]
+    assert noisy.shape == clean.shape == (32000,)
+    assert noisy.dtype == np.float32
+    # mixing actually added noise
+    assert not np.allclose(noisy, clean)
+
+
+def test_inpainting_dataset(corpus):
+    root, clean_dir, _ = corpus
+    cfg = D.AudioInpaintingConfig(
+        clean_path=str(clean_dir), sub_sample_length_seconds=2.044,
+        missing_length_seconds=0.128, seed=42, file_glob="*.wav")
+    ds = D.AudioInpaintingDataset(cfg)
+    s = ds[0]
+    assert s.stft_clean.shape[0] == 2 and s.stft_clean.shape[1] == 128
+    assert s.stft_masked.shape == s.stft_clean.shape
+    assert s.mask_frames.shape == (s.stft_clean.shape[2],)
+    # gap zeroed in time and in masked frames
+    assert np.all(s.masked_audio[0, s.mask_start_idx:s.mask_end_idx] == 0)
+    masked_frames = np.where(s.mask_frames == 0)[0]
+    assert len(masked_frames) > 0
+    assert np.all(s.stft_masked[:, :, masked_frames] == 0)
+    # per-index seeding reproducible
+    s2 = ds[0]
+    assert s2.mask_start_idx == s.mask_start_idx
+    np.testing.assert_array_equal(s2.stft_masked, s.stft_masked)
+
+
+def test_inpainting_dataset_vad(corpus):
+    root, clean_dir, _ = corpus
+    cfg = D.AudioInpaintingConfig(
+        clean_path=str(clean_dir), sub_sample_length_seconds=2.0,
+        missing_length_seconds=0.1, seed=1, use_vad=True, file_glob="*.wav")
+    ds = D.AudioInpaintingDataset(cfg)
+    s = ds[0]
+    assert s.mask_end_idx - s.mask_start_idx == cfg.missing_length
+
+
+def test_time_to_spec_mask_matches_reference_loop(rng):
+    """Vectorized frame mask == the reference python loop
+    (audio_dataset_inpainting.py:223-251)."""
+    L, win, hop = 4000, 255, 128
+    t_frames = 1 + L // hop
+    mask = np.ones(L, np.float32)
+    mask[1000:1500] = 0
+
+    ours = D.time_to_spec_mask(mask, t_frames, L, win, hop)
+
+    ref = []
+    half = win // 2
+    for t in range(t_frames):
+        start = t * hop - half
+        end = start + win
+        start = max(start, 0)
+        end = min(end, L)
+        if end <= start:
+            ref.append(0.0)
+        else:
+            ref.append(float(mask[start:end].min() == 1))
+    np.testing.assert_array_equal(ours, np.asarray(ref, np.float32))
+
+
+def test_batch_loader_sharding(corpus):
+    root, clean_dir, noise_dir = corpus
+
+    class Idx:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return np.asarray([i], np.float32)
+
+    all_seen = []
+    for host in range(2):
+        loader = D.BatchLoader(Idx(), global_batch_size=8, shuffle=False,
+                               host_id=host, num_hosts=2, num_workers=2)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0].shape == (4, 1)
+        all_seen.extend(b.reshape(-1).tolist() for b in batches)
+    flat = sorted(x for chunk in all_seen for x in chunk)
+    assert flat == list(map(float, range(16)))  # full cover, no overlap
+
+
+def test_loop_iterator(corpus):
+    class Ten:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return np.float32(i)
+
+    loader = D.BatchLoader(Ten(), global_batch_size=2, shuffle=False,
+                           num_workers=1)
+    loop = D.LoopIterator(loader, n_steps=12)
+    assert len(list(loop)) == 12
+
+
+def test_sample_generator(tmp_path, corpus):
+    root, clean_dir, noise_dir = corpus
+    gen = D.TestSampleGenerator(
+        D.AudioDataSetConfig(clean_path=str(clean_dir),
+                             noisy_path=str(noise_dir),
+                             sub_sample_length_seconds=1.0),
+        str(tmp_path / "out"), snr=10.0)
+    gen.generate(2)
+    assert len(list((tmp_path / "out" / "noisy").glob("*.wav"))) == 2
+    assert len(list((tmp_path / "out" / "clean").glob("*.wav"))) == 2
