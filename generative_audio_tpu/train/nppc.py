@@ -1,0 +1,266 @@
+"""NPPC trainers: inpainting line (UNet PC heads over a frozen restoration
+UNet) and denoising line (MultiDirection FullSubNet+ over a frozen enhancer).
+
+References:
+  inpainting — nppc_audio/inpainting/trainer/nppc_trainer.py:48-210,
+    base_step :609-656 (preprocess -> NPPC model -> error vs frozen pred ->
+    projection objective, grad clip 1.0, Adam, periodic validation :689-706)
+  denoising  — nppc_audio/trainer.py:40-371, base_step :234-317 (w_mat from
+    waveforms; gt/pred cRM with drop_band :337-371; complex objective)
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from generative_audio_tpu.models.nppc_model import (
+    InpaintingNPPCModel, InpaintingNPPCConfig,
+    DenoisingNPPCModel, DenoisingNPPCConfig)
+from generative_audio_tpu.ops.preprocess import preprocess_data
+from generative_audio_tpu.ops.stft import stft_ri
+from generative_audio_tpu.ops.mask import build_complex_ideal_ratio_mask_ri
+from generative_audio_tpu.ops.subband import drop_band
+from generative_audio_tpu.losses import (
+    nppc_objective_real, nppc_objective_complex)
+from generative_audio_tpu.train.state import (
+    TrainState, create_train_state, make_optimizer)
+from generative_audio_tpu.train.checkpoint import CheckpointManager
+
+__all__ = ["NPPCInpaintingTrainConfig", "NPPCInpaintingTrainer",
+           "NPPCDenoisingTrainConfig", "NPPCDenoisingTrainer"]
+
+
+# ------------------------------------------------------------- inpainting --
+@dataclasses.dataclass(frozen=True)
+class NPPCInpaintingTrainConfig:
+    model: InpaintingNPPCConfig = InpaintingNPPCConfig()
+    learning_rate: float = 1e-4
+    betas: Tuple[float, float] = (0.5, 0.999)
+    max_grad_norm: float = 1.0
+    second_moment_loss_lambda: float = 1.0
+    second_moment_loss_grace: int = 500
+    num_freqs: int = 128
+    num_frames: int = 256
+    log_interval: int = 100
+    save_interval: int = 1000
+
+
+class NPPCInpaintingTrainer:
+    """Trains ONLY the PC-wrapper params; the restoration sub-model is frozen
+    (zero-grad via stop_gradient + masked out of the optimizer update)."""
+
+    def __init__(self, config: NPPCInpaintingTrainConfig,
+                 restoration_variables=None,
+                 checkpoint_dir: Optional[str] = None, seed: int = 0):
+        self.config = config
+        self.model = InpaintingNPPCModel(config.model)
+        dummy = jnp.zeros((1, 1, config.num_freqs, config.num_frames))
+        variables = self.model.init(jax.random.PRNGKey(seed), dummy,
+                                    jnp.ones_like(dummy), train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+        if restoration_variables is not None:
+            # transplant the pretrained (frozen) restoration UNet
+            params = dict(params)
+            params["pretrained_restoration_model"] = \
+                restoration_variables["params"]
+            batch_stats = dict(batch_stats or {})
+            batch_stats["pretrained_restoration_model"] = \
+                restoration_variables["batch_stats"]
+
+        import optax
+        tx = make_optimizer(config.learning_rate, config.betas,
+                            clip_norm=config.max_grad_norm)
+        # freeze the restoration branch exactly like the reference's
+        # requires_grad=False eval() module
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            param_labels=jax.tree_util.Partial(self._label))
+        self.state = create_train_state(params, tx, batch_stats=batch_stats)
+        self.ckpt = (CheckpointManager(checkpoint_dir, config)
+                     if checkpoint_dir else None)
+        self._rng = jax.random.PRNGKey(seed + 1)
+        self._step_fn = jax.jit(self._train_step)
+        self._eval_fn = jax.jit(self._eval_step)
+        self.loss_history = []
+        self.reconst_err_history = []
+
+    @staticmethod
+    def _label(params):
+        return {k: ("frozen" if k == "pretrained_restoration_model"
+                    else "train") for k in params}
+
+    def _objective(self, params, batch_stats, rng, batch, step, train: bool):
+        masked_spec, mask_frames, clean_spec = batch
+        clean_norm_log, mask4, masked_norm_log = preprocess_data(
+            clean_spec, masked_spec, mask_frames)
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        rngs = {"dropout": rng} if train else None
+        new_stats = batch_stats
+        if train:
+            # training-mode BN in the PC UNet updates its running stats
+            w_mat, mutated = self.model.apply(
+                variables, masked_norm_log, mask4, train=True, rngs=rngs,
+                mutable=["batch_stats"])
+            new_stats = mutated["batch_stats"]
+        else:
+            w_mat = self.model.apply(variables, masked_norm_log, mask4,
+                                     train=False)
+        pred = self.model.apply(variables, masked_norm_log, mask4,
+                                method=self.model.get_pred_spec_mag_norm)
+        err = clean_norm_log - pred                      # [B, 1, F, T]
+        reconst_err, objective, log = nppc_objective_real(
+            w_mat, err, step.astype(jnp.float32),
+            grace=self.config.second_moment_loss_grace,
+            lambda_scale=self.config.second_moment_loss_lambda)
+        return objective, (reconst_err, new_stats, log)
+
+    def _train_step(self, state: TrainState, rng, batch):
+        (obj, (reconst, new_stats, _)), grads = jax.value_and_grad(
+            self._objective, has_aux=True)(
+            state.params, state.batch_stats, rng, batch, state.step, True)
+        return (state.apply_gradients(grads, new_batch_stats=new_stats),
+                obj, jnp.mean(reconst))
+
+    def _eval_step(self, state: TrainState, batch):
+        obj, (reconst, _, _) = self._objective(
+            state.params, state.batch_stats, None, batch, state.step, False)
+        return obj, jnp.mean(reconst)
+
+    def train(self, loader, n_steps: Optional[int] = None,
+              n_epochs: Optional[int] = None, val_loader=None, log=print):
+        from generative_audio_tpu.data.loader import LoopIterator
+        loop = LoopIterator(loader, n_steps=n_steps, n_epochs=n_epochs)
+        for batch in loop:
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.state, obj, reconst = self._step_fn(
+                self.state, step_rng, (batch[0], batch[1], batch[2]))
+            self.loss_history.append(float(obj))
+            self.reconst_err_history.append(float(reconst))
+            step = int(self.state.step)
+            if step % self.config.log_interval == 0:
+                msg = (f"step {step}: objective={float(obj):.5f} "
+                       f"reconst_err={float(reconst):.5f}")
+                if val_loader is not None:
+                    v_obj, v_rec = self.validate(val_loader)
+                    msg += f" val={v_obj:.5f}/{v_rec:.5f}"
+                log(msg)
+            if self.ckpt and step % self.config.save_interval == 0:
+                self._save(step)
+        if self.ckpt:
+            self._save(int(self.state.step), final=True)
+        return self.loss_history
+
+    def validate(self, val_loader):
+        objs, recs = [], []
+        for batch in val_loader:
+            o, r = self._eval_fn(self.state, (batch[0], batch[1], batch[2]))
+            objs.append(float(o))
+            recs.append(float(r))
+        return float(np.mean(objs)), float(np.mean(recs))
+
+    def _save(self, step: int, final: bool = False):
+        tree = {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "step": np.asarray(step)}
+        self.ckpt.save_latest(tree, step)
+        if final:
+            ts = time.strftime("%Y%m%d_%H%M%S")
+            self.ckpt.save_step(tree, step)
+            (Path(self.ckpt.directory) / f"metrics_final_{ts}.json"
+             ).write_text(json.dumps({
+                 "timestamp": ts, "total_steps": step,
+                 "final_loss": self.loss_history[-1]
+                 if self.loss_history else None}, indent=4))
+
+
+# -------------------------------------------------------------- denoising --
+@dataclasses.dataclass(frozen=True)
+class NPPCDenoisingTrainConfig:
+    model: DenoisingNPPCConfig = DenoisingNPPCConfig()
+    learning_rate: float = 1e-4
+    betas: Tuple[float, float] = (0.9, 0.999)
+    max_grad_norm: float = 1.0
+    second_moment_loss_lambda: float = 1.0
+    second_moment_loss_grace: int = 500
+    log_interval: int = 100
+    save_interval: int = 1000
+
+
+class NPPCDenoisingTrainer:
+    """Ref nppc_audio/trainer.py:40-371."""
+
+    def __init__(self, config: NPPCDenoisingTrainConfig,
+                 restoration_params=None,
+                 checkpoint_dir: Optional[str] = None, seed: int = 0,
+                 example_length: int = 16384):
+        self.config = config
+        self.model = DenoisingNPPCModel(config.model)
+        dummy = jnp.zeros((1, example_length))
+        params = self.model.init(jax.random.PRNGKey(seed), dummy)["params"]
+        if restoration_params is not None:
+            params = dict(params)
+            params["pretrained_restoration_model"] = restoration_params
+
+        import optax
+        tx = make_optimizer(config.learning_rate, config.betas,
+                            clip_norm=config.max_grad_norm)
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            param_labels=jax.tree_util.Partial(
+                NPPCInpaintingTrainer._label))
+        self.state = create_train_state(params, tx)
+        self.ckpt = (CheckpointManager(checkpoint_dir, config)
+                     if checkpoint_dir else None)
+        self._step_fn = jax.jit(self._train_step)
+        self.loss_history = []
+
+    def _objective(self, params, batch, step):
+        noisy, clean = batch
+        s = self.config.model.stft
+        w_mat = self.model.apply({"params": params}, noisy)
+        nr, ni = stft_ri(noisy, s.nfft, s.hop_length, s.win_length)
+        cr, ci = stft_ri(clean, s.nfft, s.hop_length, s.win_length)
+        gt_crm = build_complex_ideal_ratio_mask_ri(nr, ni, cr, ci)
+        groups = self.config.model.pc_wrapper.num_groups_in_drop_band
+        gt_crm = drop_band(jnp.transpose(gt_crm, (0, 3, 1, 2)), groups)
+        pred_crm = self.model.apply({"params": params}, noisy,
+                                    method=self.model.get_pred_crm)
+        pred_crm = drop_band(pred_crm, groups)
+        reconst_err, objective, log = nppc_objective_complex(
+            w_mat, gt_crm, pred_crm, step.astype(jnp.float32),
+            grace=self.config.second_moment_loss_grace,
+            lambda_scale=self.config.second_moment_loss_lambda)
+        return objective, (reconst_err, log)
+
+    def _train_step(self, state: TrainState, batch):
+        (obj, (reconst, _)), grads = jax.value_and_grad(
+            self._objective, has_aux=True)(state.params, batch, state.step)
+        return state.apply_gradients(grads), obj, jnp.mean(reconst)
+
+    def train(self, loader, n_steps: Optional[int] = None,
+              n_epochs: Optional[int] = None, log=print):
+        from generative_audio_tpu.data.loader import LoopIterator
+        loop = LoopIterator(loader, n_steps=n_steps, n_epochs=n_epochs)
+        for batch in loop:
+            self.state, obj, reconst = self._step_fn(
+                self.state, (batch[0], batch[1]))
+            self.loss_history.append(float(obj))
+            step = int(self.state.step)
+            if step % self.config.log_interval == 0:
+                log(f"step {step}: objective={float(obj):.5f} "
+                    f"reconst_err={float(reconst):.5f}")
+            if self.ckpt and step % self.config.save_interval == 0:
+                self.ckpt.save_latest(
+                    {"params": self.state.params,
+                     "step": np.asarray(step)}, step)
+        return self.loss_history

@@ -1,0 +1,151 @@
+"""Inpainting restoration trainer (dropout-UNet, masked MSE).
+
+Reference: nppc_audio/inpainting/trainer/restoration_trainer.py:38-327
+(base_step :178-200: preprocess_data -> RestorationWrapper -> masked MSE on
+the gap; grad clip 5; Adam lr 1e-4 betas (0.5, 0.999) per
+inpainting/scripts/train/config/config.yaml; periodic validation :202-222;
+loss-curve PNG + final checkpoint + metrics JSON :260-327).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from generative_audio_tpu.models.nppc_model import (
+    InpaintingRestorationModel, UNetModelConfig)
+from generative_audio_tpu.ops.preprocess import preprocess_data
+from generative_audio_tpu.losses import masked_mse_loss
+from generative_audio_tpu.train.state import (
+    TrainState, create_train_state, make_optimizer)
+from generative_audio_tpu.train.checkpoint import CheckpointManager
+
+__all__ = ["RestorationTrainConfig", "RestorationTrainer"]
+
+
+@dataclasses.dataclass(frozen=True)
+class RestorationTrainConfig:
+    model: UNetModelConfig = UNetModelConfig(in_channels=1, out_channels=1,
+                                             dropout=0.2)
+    learning_rate: float = 1e-4
+    betas: Tuple[float, float] = (0.5, 0.999)
+    clip_grad_norm: float = 5.0
+    num_freqs: int = 128
+    num_frames: int = 256
+    log_interval: int = 100
+    save_interval: int = 1000
+
+
+class RestorationTrainer:
+    def __init__(self, config: RestorationTrainConfig,
+                 checkpoint_dir: Optional[str] = None, seed: int = 0):
+        self.config = config
+        self.model = InpaintingRestorationModel(config.model)
+
+        dummy = jnp.zeros((1, 1, config.num_freqs, config.num_frames))
+        variables = self.model.init(jax.random.PRNGKey(seed), dummy,
+                                    jnp.ones_like(dummy), train=False)
+        tx = make_optimizer(config.learning_rate, config.betas,
+                            clip_norm=config.clip_grad_norm)
+        self.state = create_train_state(variables["params"], tx,
+                                        batch_stats=variables["batch_stats"])
+        self.ckpt = (CheckpointManager(checkpoint_dir, config)
+                     if checkpoint_dir else None)
+        self._rng = jax.random.PRNGKey(seed + 1)
+        self._step_fn = jax.jit(self._train_step)
+        self._eval_fn = jax.jit(self._eval_step)
+        self.loss_history = []
+        self.val_loss_history = []
+
+    # ------------------------------------------------------------ steps ----
+    def _loss(self, params, batch_stats, dropout_rng, batch, train: bool):
+        masked_spec, mask_frames, clean_spec = batch
+        clean_norm_log, mask4, masked_norm_log = preprocess_data(
+            clean_spec, masked_spec, mask_frames)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, mutated = self.model.apply(
+                variables, masked_norm_log, mask4, train=True,
+                rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+            loss = masked_mse_loss(out, clean_norm_log, mask4)
+            return loss, mutated["batch_stats"]
+        out = self.model.apply(variables, masked_norm_log, mask4, train=False)
+        return masked_mse_loss(out, clean_norm_log, mask4)
+
+    def _train_step(self, state: TrainState, rng, batch):
+        (loss, new_stats), grads = jax.value_and_grad(
+            self._loss, has_aux=True)(state.params, state.batch_stats, rng,
+                                      batch, True)
+        return state.apply_gradients(grads, new_batch_stats=new_stats), loss
+
+    def _eval_step(self, state: TrainState, batch):
+        return self._loss(state.params, state.batch_stats, None, batch, False)
+
+    # ------------------------------------------------------------ loops ----
+    def train(self, loader, n_steps: Optional[int] = None,
+              n_epochs: Optional[int] = None, val_loader=None, log=print):
+        from generative_audio_tpu.data.loader import LoopIterator
+        loop = LoopIterator(loader, n_steps=n_steps, n_epochs=n_epochs)
+        for batch in loop:
+            masked_spec, mask_frames, clean_spec = batch[0], batch[1], batch[2]
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.state, loss = self._step_fn(
+                self.state, step_rng, (masked_spec, mask_frames, clean_spec))
+            loss = float(loss)
+            self.loss_history.append(loss)
+            step = int(self.state.step)
+            if step % self.config.log_interval == 0:
+                msg = f"step {step}: loss={loss:.5f}"
+                if val_loader is not None:
+                    val = self.validate(val_loader)
+                    self.val_loss_history.append((step, val))
+                    msg += f" val_loss={val:.5f}"
+                log(msg)
+            if self.ckpt and step % self.config.save_interval == 0:
+                self._save(step)
+        if self.ckpt:
+            self._save(int(self.state.step), final=True)
+        return self.loss_history
+
+    def validate(self, val_loader) -> float:
+        losses = []
+        for batch in val_loader:
+            losses.append(float(self._eval_fn(
+                self.state, (batch[0], batch[1], batch[2]))))
+        return float(np.mean(losses))
+
+    def _save(self, step: int, final: bool = False):
+        tree = {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "step": np.asarray(step)}
+        self.ckpt.save_latest(tree, step)
+        if final:
+            ts = time.strftime("%Y%m%d_%H%M%S")
+            self.ckpt.save_step(tree, step)
+            metrics = {"timestamp": ts, "total_steps": step,
+                       "final_loss": (self.loss_history[-1]
+                                      if self.loss_history else None)}
+            (Path(self.ckpt.directory)
+             / f"metrics_final_{ts}.json").write_text(
+                json.dumps(metrics, indent=4))
+
+    def restore_latest(self):
+        tree = {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "step": np.asarray(0)}
+        restored = self.ckpt.restore("latest", tree)
+        if restored is None:
+            return False
+        self.state = self.state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"]))
+        return True
