@@ -7,3 +7,13 @@ from generative_audio_tpu.eval.inferencer import (  # noqa: F401
     Inferencer, InferencerConfig,
 )
 from generative_audio_tpu.eval.validator import ModelValidator  # noqa: F401
+from generative_audio_tpu.eval.mc_dropout import (  # noqa: F401
+    mc_dropout_inference, compute_pca_batch, calculate_unet_baseline,
+)
+from generative_audio_tpu.eval.nppc_validator import (  # noqa: F401
+    NPPCValidator, NPPCValidatorConfig, compute_metrics, organize_jsons,
+)
+from generative_audio_tpu.eval.nppc_denoising_validator import (  # noqa: F401
+    DenoisingNPPCValidator, DenoisingNPPCValidatorConfig,
+)
+from generative_audio_tpu.eval.pitch import yin_pitch_track  # noqa: F401

@@ -1,0 +1,162 @@
+"""NPPC validation stack tests: MC-dropout PCA vs sklearn, principal angles
+vs torch rederivation, YIN pitch on known tones, end-to-end validator run."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from generative_audio_tpu.eval.mc_dropout import (
+    compute_pca_batch, calculate_unet_baseline)
+from generative_audio_tpu.eval.nppc_validator import (
+    compute_metrics, NPPCValidator, NPPCValidatorConfig, organize_jsons)
+from generative_audio_tpu.eval.pitch import yin_pitch_track
+
+
+def test_pca_matches_sklearn(rng):
+    from sklearn.decomposition import PCA
+    x = rng.standard_normal((20, 3, 40)).astype(np.float32)
+    comps, scaled, importance, mean, svals = compute_pca_batch(x, 5)
+    for b in range(3):
+        pca = PCA(n_components=5)
+        pca.fit(x[:, b, :])
+        ours = np.asarray(comps)[b]
+        ref = pca.components_
+        # match up to sign per component
+        for k in range(5):
+            dot = abs(np.dot(ours[k], ref[k])
+                      / (np.linalg.norm(ours[k]) * np.linalg.norm(ref[k])))
+            assert dot > 0.999, f"component {k} mismatch (b={b})"
+        np.testing.assert_allclose(np.asarray(svals)[b],
+                                   pca.singular_values_, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(mean)[b], pca.mean_, atol=1e-5)
+
+
+def test_principal_angles_match_torch(rng):
+    import torch
+    a = rng.standard_normal((1, 4, 8, 10)).astype(np.float32)
+    b = rng.standard_normal((1, 4, 8, 10)).astype(np.float32)
+    pred = rng.standard_normal((1, 1, 8, 10)).astype(np.float32)
+    clean = rng.standard_normal((1, 1, 8, 10)).astype(np.float32)
+    mask = np.ones((1, 1, 8, 10), np.float32)
+    mask[..., 3:6] = 0
+    m = compute_metrics(a, b, pred, pred, clean, mask)
+
+    # torch rederivation of the angle computation (ref :785-810)
+    ta = torch.from_numpy(a).reshape(4, -1)
+    tb = torch.from_numpy(b).reshape(4, -1)
+    qa, _ = torch.linalg.qr(ta.T)
+    qb, _ = torch.linalg.qr(tb.T)
+    s = torch.linalg.svdvals(qa.T @ qb)
+    ref_angles = (torch.arccos(torch.clamp(s, -1, 1)) * 180 / np.pi).tolist()
+    np.testing.assert_allclose(m["principal_angles"], ref_angles, atol=1e-2)
+
+    # identical subspace -> all angles ~ 0
+    m2 = compute_metrics(a, a, pred, pred, clean, mask)
+    assert max(m2["principal_angles"]) < 0.1  # float32 QR/SVD noise
+
+
+def test_residual_error_zero_when_error_in_span(rng):
+    e = rng.standard_normal((1, 1, 4, 5)).astype(np.float32)
+    dirs = e.reshape(1, 1, 4, 5)  # error IS the single direction
+    clean = np.zeros_like(e)
+    mask = np.zeros_like(e)
+    m = compute_metrics(dirs, dirs, e, e, clean, mask)
+    assert m["nppc"]["residual_error"] < 1e-4
+
+
+def test_yin_pitch_tracks_tone():
+    sr = 16000
+    t = np.arange(sr) / sr
+    for f0 in (110.0, 220.0, 330.0):
+        tone = np.sin(2 * np.pi * f0 * t)
+        est, voiced, _ = yin_pitch_track(tone, sr)
+        assert voiced.mean() > 0.8
+        assert abs(np.nanmedian(est) - f0) < 3.0
+    noise = np.random.default_rng(0).standard_normal(sr) * 0.01
+    est, voiced, _ = yin_pitch_track(noise, sr)
+    assert voiced.mean() < 0.5
+
+
+def test_mc_dropout_baseline_shapes(rng):
+    f, t = 16, 20
+
+    def fake_apply(variables, x, mask, rngs=None):
+        key = rngs["dropout"] if rngs else jax.random.PRNGKey(0)
+        noise = jax.random.normal(key, x.shape)
+        return x + 0.1 * noise
+
+    masked = jnp.asarray(rng.standard_normal((2, 1, f, t)), jnp.float32)
+    mask = np.ones((2, 1, f, t), np.float32)
+    mask[..., 8:12] = 0
+    out = calculate_unet_baseline(fake_apply, {}, masked, jnp.asarray(mask),
+                                  jax.random.PRNGKey(1), n_mc_samples=12,
+                                  n_components=4)
+    assert out["mean_prediction"].shape == (2, 1, f, t)
+    assert out["principal_components"].shape == (2, 4, f, t)
+    assert out["importance_weights"].shape == (2, 4)
+    # PCs live only in the gap
+    pcs = np.asarray(out["principal_components"])
+    assert np.abs(pcs * mask[:, :1]).max() < 1e-6
+
+
+def test_validator_end_to_end(tmp_path, rng):
+    """Full validate_sample with tiny fake models -> JSON + PNG + wavs."""
+    f, t = 16, 32
+
+    def nppc_apply(v, x, m):
+        key = jax.random.PRNGKey(3)
+        dirs = jax.random.normal(key, (x.shape[0], 3, f, t))
+        return dirs * (1 - m)
+
+    def rest_apply(v, x, m, rngs=None):
+        if rngs is not None:
+            return x + 0.05 * jax.random.normal(rngs["dropout"], x.shape)
+        return x
+
+    cfg = NPPCValidatorConfig(save_dir=str(tmp_path), n_mc_samples=10,
+                              n_components=3, nfft=30, hop_length=16,
+                              win_length=30)
+    val = NPPCValidator(nppc_apply, {}, rest_apply, {}, cfg)
+    masked = jnp.asarray(rng.standard_normal((1, 1, f, t)), jnp.float32)
+    mask = np.ones((1, 1, f, t), np.float32)
+    mask[..., 10:20] = 0
+    clean = jnp.asarray(rng.standard_normal((1, 1, f, t)), jnp.float32)
+    phase = rng.uniform(-np.pi, np.pi, (f, t)).astype(np.float32)
+
+    metrics = val.validate_sample(masked, jnp.asarray(mask), clean,
+                                  sample_idx=7, stats=(0.0, 1.0),
+                                  clean_phase=phase)
+    assert "principal_angles" in metrics
+    out_dir = tmp_path / "sample_7"
+    assert (out_dir / "metrics_sample_7.json").exists()
+    assert (out_dir / "pc_spectrograms.png").exists()
+    assert len(list(out_dir.glob("pc*alpha*.wav"))) == 3 * 5
+
+    df = organize_jsons(tmp_path, output_path=tmp_path / "agg.png")
+    assert len(df) == 1 and (tmp_path / "agg.png").exists()
+
+
+def test_denoising_validator(tmp_path, rng):
+    from generative_audio_tpu.eval.nppc_denoising_validator import (
+        DenoisingNPPCValidator, DenoisingNPPCValidatorConfig)
+    from generative_audio_tpu.ops.mask import compress_cIRM
+
+    def model_apply(v, wav):
+        key = jax.random.PRNGKey(0)
+        return 0.1 * jax.random.normal(key, (wav.shape[0], 2, 2, 257, 63))
+
+    def crm_apply(v, wav):
+        ones = jnp.ones((wav.shape[0], 257, 63))
+        return compress_cIRM(jnp.stack([ones, jnp.zeros_like(ones)], axis=1))
+
+    cfg = DenoisingNPPCValidatorConfig(save_dir=str(tmp_path))
+    val = DenoisingNPPCValidator(model_apply, crm_apply, {}, cfg)
+    noisy = rng.standard_normal(16000 - 128).astype(np.float32) * 0.1
+    out = val.validate_sample(noisy, sample_idx=0)
+    d = Path(out["save_dir"])
+    assert (d / "pc_variations.png").exists()
+    assert (d / "enhanced.wav").exists()
+    assert len(out["variations"]) == 2 * 6
