@@ -1,0 +1,115 @@
+"""Training entry point for all four lines.
+
+Usage:
+    python -m generative_audio_tpu.cli.train -C configs/enhance_train.yaml \
+        [-R] [--steps N | --epochs N]
+
+Reference equivalents: tools/train.py (FullSubNet+ DDP launcher),
+inpainting/scripts/train/train_restoration_model.py,
+train_nppc_model.py, nppc_audio/scripts/run_denoising_nppc.py.
+The reference's mp.spawn-per-GPU launcher is replaced by one process per
+host over a jax.sharding mesh.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from generative_audio_tpu.utils.config import (
+    load_config_file, build_dataclass)
+from generative_audio_tpu.utils.logging import get_logger
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="generative_audio_tpu train")
+    parser.add_argument("-C", "--configuration", required=True)
+    parser.add_argument("-R", "--resume", action="store_true",
+                        help="resume from the latest checkpoint")
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    raw = load_config_file(args.configuration)
+    line = raw.pop("line")  # enhance | restoration | nppc_inpainting | nppc_denoising
+    checkpoint_dir = raw.pop("checkpoint_dir", "checkpoints")
+    data_cfg = raw.pop("data")
+    loader_cfg = raw.pop("dataloader", {})
+    log = get_logger().info
+
+    from generative_audio_tpu.data import BatchLoader
+
+    if line == "enhance":
+        from generative_audio_tpu import train as T
+        from generative_audio_tpu.data import (
+            AudioDataset, AudioDataSetConfig, DNSTrainDataset, DNSTrainConfig)
+        cfg = build_dataclass(T.EnhanceTrainConfig, raw.get("train"))
+        if "clean_dataset" in data_cfg:  # DNS scp regime
+            dataset = DNSTrainDataset(build_dataclass(DNSTrainConfig, data_cfg))
+        else:
+            dataset = AudioDataset(build_dataclass(AudioDataSetConfig, data_cfg))
+        loader = BatchLoader(dataset, **{"global_batch_size": 18, **loader_cfg})
+        trainer = T.EnhanceTrainer(cfg, checkpoint_dir=checkpoint_dir)
+        trainer.train(loader, epochs=args.epochs or 1, log=log)
+
+    elif line == "restoration":
+        from generative_audio_tpu import train as T
+        from generative_audio_tpu.data import (
+            AudioInpaintingDataset, AudioInpaintingConfig, collate_inpainting)
+        cfg = build_dataclass(T.RestorationTrainConfig, raw.get("train"))
+        dataset = AudioInpaintingDataset(
+            build_dataclass(AudioInpaintingConfig, data_cfg))
+        loader = BatchLoader(dataset, collate_fn=collate_inpainting,
+                             **{"global_batch_size": 16, **loader_cfg})
+        trainer = T.RestorationTrainer(cfg, checkpoint_dir=checkpoint_dir)
+        if args.resume:
+            trainer.restore_latest()
+        trainer.train(loader, n_steps=args.steps, n_epochs=args.epochs,
+                      log=log)
+
+    elif line == "nppc_inpainting":
+        from generative_audio_tpu import train as T
+        from generative_audio_tpu.data import (
+            AudioInpaintingDataset, AudioInpaintingConfig, collate_inpainting)
+        cfg = build_dataclass(T.NPPCInpaintingTrainConfig, raw.get("train"))
+        restoration_ckpt = raw.get("pretrained_restoration_checkpoint")
+        restoration_vars = None
+        if restoration_ckpt:
+            from generative_audio_tpu.train import CheckpointManager
+            import jax.numpy as jnp
+            mgr = CheckpointManager(restoration_ckpt)
+            probe = T.RestorationTrainer(
+                T.RestorationTrainConfig(model=cfg.model.restoration,
+                                         num_freqs=cfg.num_freqs,
+                                         num_frames=cfg.num_frames))
+            tree = {"params": probe.state.params,
+                    "batch_stats": probe.state.batch_stats,
+                    "opt_state": probe.state.opt_state, "step": 0}
+            restored = mgr.restore("latest", tree)
+            if restored:
+                restoration_vars = {"params": restored["params"],
+                                    "batch_stats": restored["batch_stats"]}
+        dataset = AudioInpaintingDataset(
+            build_dataclass(AudioInpaintingConfig, data_cfg))
+        loader = BatchLoader(dataset, collate_fn=collate_inpainting,
+                             **{"global_batch_size": 16, **loader_cfg})
+        trainer = T.NPPCInpaintingTrainer(
+            cfg, restoration_variables=restoration_vars,
+            checkpoint_dir=checkpoint_dir)
+        trainer.train(loader, n_steps=args.steps, n_epochs=args.epochs,
+                      log=log)
+
+    elif line == "nppc_denoising":
+        from generative_audio_tpu import train as T
+        from generative_audio_tpu.data import AudioDataset, AudioDataSetConfig
+        cfg = build_dataclass(T.NPPCDenoisingTrainConfig, raw.get("train"))
+        dataset = AudioDataset(build_dataclass(AudioDataSetConfig, data_cfg))
+        loader = BatchLoader(dataset, **{"global_batch_size": 8, **loader_cfg})
+        trainer = T.NPPCDenoisingTrainer(cfg, checkpoint_dir=checkpoint_dir)
+        trainer.train(loader, n_steps=args.steps, n_epochs=args.epochs,
+                      log=log)
+    else:
+        raise ValueError(f"Unknown training line {line!r}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""CLI end-to-end tests: train (restoration line) on a synthetic corpus,
+inference over a wav dir with a small trained checkpoint, metric CLI."""
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from generative_audio_tpu.data import write_synthetic_corpus
+from generative_audio_tpu.data.audio_io import write_wav
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_corpus")
+    return write_synthetic_corpus(root, n_clean=3, n_noise=2, seconds=3.0)
+
+
+def test_train_cli_restoration(tmp_path, corpus):
+    clean_dir, noise_dir = corpus
+    cfg = {
+        "line": "restoration",
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "train": {
+            "model": {"in_channels": 1, "out_channels": 1, "dropout": 0.2},
+            "num_freqs": 128, "num_frames": 256,
+            "log_interval": 2, "save_interval": 100,
+        },
+        "data": {
+            "clean_path": str(clean_dir),
+            "missing_length_seconds": 0.128,
+            "sub_sample_length_seconds": 2.044,
+            "file_glob": "*.wav",
+        },
+        "dataloader": {"global_batch_size": 2, "num_workers": 2},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from generative_audio_tpu.cli.train import main
+    main(["-C", str(cfg_path), "--steps", "3"])
+    assert (tmp_path / "ckpt" / "latest").exists()
+
+
+def test_inference_cli(tmp_path, corpus):
+    clean_dir, noise_dir = corpus
+    # build a tiny model checkpoint
+    import jax, jax.numpy as jnp
+    from generative_audio_tpu.models import (
+        FullSubNetPlus, FullSubNetPlusConfig)
+    from generative_audio_tpu.train import CheckpointManager
+
+    model_cfg_dict = dict(num_freqs=257, sb_num_neighbors=2,
+                          fb_model_hidden_size=8, sb_model_hidden_size=8)
+    model = FullSubNetPlus(FullSubNetPlusConfig(**model_cfg_dict))
+    dummy = jnp.zeros((1, 1, 257, 8))
+    params = model.init(jax.random.PRNGKey(0), dummy, dummy, dummy)["params"]
+    mgr = CheckpointManager(tmp_path / "model_ckpt")
+    mgr.save_latest({"params": params}, 0)
+
+    noisy_dir = tmp_path / "noisy"
+    noisy_dir.mkdir()
+    rng = np.random.default_rng(0)
+    write_wav(noisy_dir / "a.wav",
+              rng.standard_normal(12000).astype(np.float32) * 0.1, 16000)
+
+    cfg = {"model": model_cfg_dict,
+           "inferencer": {"length_bucket": 8000}}
+    cfg_path = tmp_path / "inf.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from generative_audio_tpu.cli.inference import main
+    main(["-C", str(cfg_path), "-M", str(tmp_path / "model_ckpt"),
+          "-I", str(noisy_dir), "-O", str(tmp_path / "enhanced")])
+    out = list((tmp_path / "enhanced").glob("*.wav"))
+    assert len(out) == 1
+
+
+def test_calculate_metrics_cli(tmp_path, rng, capsys):
+    ref_dir = tmp_path / "ref"
+    est_dir = tmp_path / "est"
+    ref_dir.mkdir()
+    est_dir.mkdir()
+    t = np.arange(32000) / 16000
+    clean = (0.3 * np.sin(2 * np.pi * 220 * t)
+             * (0.5 + 0.5 * np.sin(2 * np.pi * 2 * t))).astype(np.float32)
+    write_wav(ref_dir / "x.wav", clean, 16000)
+    write_wav(est_dir / "x.wav",
+              clean + 0.01 * rng.standard_normal(32000).astype(np.float32),
+              16000)
+
+    from generative_audio_tpu.cli.calculate_metrics import main
+    main(["-R", str(ref_dir), "-E", str(est_dir), "-M", "SI_SDR,STOI",
+          "-O", str(tmp_path / "res.json"), "--jobs", "1"])
+    result = json.loads((tmp_path / "res.json").read_text())
+    assert result["mean"]["SI_SDR"] > 20
+
+
+def test_config_system(tmp_path):
+    from generative_audio_tpu.utils.config import (
+        merge_config, build_dataclass, initialize_module, load_config_file)
+    from generative_audio_tpu.train import EnhanceTrainConfig
+
+    base = {"a": {"b": 1, "c": 2}, "d": 3}
+    merged = merge_config(base, {"a": {"c": 9}, "e": 4})
+    assert merged == {"a": {"b": 1, "c": 9}, "d": 3, "e": 4}
+
+    cfg = build_dataclass(EnhanceTrainConfig, {
+        "model": {"num_freqs": 64}, "learning_rate": 0.01,
+        "betas": [0.5, 0.9]})
+    assert cfg.model.num_freqs == 64 and cfg.betas == (0.5, 0.9)
+    with pytest.raises(ValueError):
+        build_dataclass(EnhanceTrainConfig, {"bogus_key": 1})
+
+    cls = initialize_module(
+        "generative_audio_tpu.models.FullSubNetPlusConfig",
+        args={"num_freqs": 99})
+    assert cls.num_freqs == 99
+
+    p = tmp_path / "x.toml"
+    p.write_text("[model]\nnum_freqs = 33\n")
+    assert load_config_file(p)["model"]["num_freqs"] == 33
