@@ -20,3 +20,8 @@ from generative_audio_tpu.data.loader import BatchLoader, LoopIterator  # noqa: 
 from generative_audio_tpu.data.sample_generator import (  # noqa: F401
     TestSampleGenerator, write_synthetic_corpus,
 )
+from generative_audio_tpu.data.image_data import (  # noqa: F401
+    ImageFilesDataset, DatasetWrapper, PairsDataset, split_dataset,
+    split_batch, crop_scaled_pair, synthetic_digits, MNISTDataModule,
+    CelebAHQ256DataModule, CelebASRFlowDataModule, make_data_module,
+)

@@ -12,3 +12,6 @@ from generative_audio_tpu.nn.attention import (  # noqa: F401
 from generative_audio_tpu.nn.unet import (  # noqa: F401
     UNet, UNet2, RestorationWrapper, UNetConfig, resize_align_corners,
 )
+from generative_audio_tpu.nn.image_nets import (  # noqa: F401
+    ResBlock, AttentionBlock, ImageUNet, ResUNet, ResCNN, pixel_shuffle,
+)

@@ -14,3 +14,6 @@ from generative_audio_tpu.train.nppc import (  # noqa: F401
     NPPCDenoisingTrainConfig, NPPCDenoisingTrainer,
 )
 from generative_audio_tpu.train.checkpoint import CheckpointManager  # noqa: F401
+from generative_audio_tpu.train.image import (  # noqa: F401
+    ImageRestorationTrainer, ImageNPPCTrainer,
+)

@@ -216,3 +216,176 @@ def convert_unet(sd, prefix: str = "") -> Dict[str, Params]:
         stats[f"up{i}"] = {"conv": _double_conv_stats(sd, f"{prefix}up{i}.conv.")}
     params["outc"] = _conv2d(sd, f"{prefix}outc.conv")
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# Image nets (nppc/networks.py) -> nn.image_nets modules
+# ---------------------------------------------------------------------------
+def _gn(sd, prefix):
+    """torch GroupNorm -> flax GroupNorm."""
+    return {"scale": _np(sd, f"{prefix}.weight"),
+            "bias": _np(sd, f"{prefix}.bias")}
+
+
+def _res_block(sd, prefix, has_shortcut):
+    """nppc/networks.py:36-52 ResBlock (ShortcutBlock(Sequential(conv,GN,
+    SiLU,conv,GN,SiLU), shortcut=1x1) -> image_nets.ResBlock."""
+    out = {"conv1": _conv2d(sd, f"{prefix}.block.base.0"),
+           "norm1": _gn(sd, f"{prefix}.block.base.1"),
+           "conv2": _conv2d(sd, f"{prefix}.block.base.3"),
+           "norm2": _gn(sd, f"{prefix}.block.base.4")}
+    if has_shortcut:
+        out["shortcut"] = _conv2d(sd, f"{prefix}.block.shortcut")
+    return out
+
+
+def _attention_block(sd, prefix):
+    """nppc/networks.py:56-93 Attention -> image_nets.AttentionBlock.
+    Conv1d 1x1 weights become Dense kernels ([O,I,1] -> [I,O])."""
+    return {"conv_in": {"kernel": _np(sd, f"{prefix}.conv_in.weight")[:, :, 0].T},
+            "conv_out": {"kernel": _np(sd, f"{prefix}.conv_out.weight")[:, :, 0].T,
+                         "bias": _np(sd, f"{prefix}.conv_out.bias")}}
+
+
+def convert_image_unet(sd, config, prefix: str = "") -> Params:
+    """Vanilla image UNet (nppc/networks.py:96-203) -> image_nets.ImageUNet.
+
+    `config` is the ImageUNet module (field values drive the torch
+    Sequential index arithmetic)."""
+    import numpy as _np_mod
+    params: Params = {}
+    params["in_conv"] = _conv2d(sd, f"{prefix}encoder_blocks.0.0")
+    for i_level, down in enumerate(config.downsample_list):
+        d = 1 if down else 0
+        for j in range(config.n_blocks):
+            blk = f"{prefix}encoder_blocks.{1 + i_level}"
+            params[f"enc_{i_level}_{j}"] = {
+                "conv": _conv2d(sd, f"{blk}.{d + 3 * j}"),
+                "norm": _gn(sd, f"{blk}.{d + 3 * j + 1}")}
+    for j in range(config.n_blocks_bottleneck):
+        params[f"bottleneck_{j}"] = {
+            "conv": _conv2d(sd, f"{prefix}bottleneck.{3 * j}"),
+            "norm": _gn(sd, f"{prefix}bottleneck.{3 * j + 1}")}
+    n_levels = len(config.channels_list)
+    for idx in range(n_levels):
+        blk = f"{prefix}decoder_blocks.{idx}"
+        for j in range(config.n_blocks):
+            params[f"dec_{idx}_{j}"] = {
+                "conv": _conv2d(sd, f"{blk}.{3 * j}"),
+                "norm": _gn(sd, f"{blk}.{3 * j + 1}")}
+    final = f"{prefix}decoder_blocks.{n_levels}"
+    k = 0
+    if config.upscale_factor != 1:
+        n_factors = int(_np_mod.log2(config.upscale_factor))
+        for fi in range(n_factors):
+            params[f"upscale_{fi}"] = _conv2d(sd, f"{final}.{2 * fi}")
+        k = 2 * n_factors
+    params["out_conv"] = _conv2d(sd, f"{final}.{k}")
+    return {"params": params}
+
+
+def convert_res_unet(sd, config, prefix: str = "") -> Params:
+    """ResUNet (nppc/networks.py:203-325) -> image_nets.ResUNet."""
+    import numpy as _np_mod
+    params: Params = {}
+    params["in_conv"] = _conv2d(sd, f"{prefix}encoder_blocks.0.0")
+
+    # channel bookkeeping mirrors the reference constructor exactly
+    enc_idx = 1
+    ch = config.channels_list[0]
+    for i_level, (ch_, down, attn) in enumerate(zip(
+            config.channels_list, config.downsample_list, config.attn_list)):
+        if down:
+            params[f"down_{i_level}"] = _conv2d(
+                sd, f"{prefix}encoder_blocks.{enc_idx}.0")
+            enc_idx += 1
+        for j in range(config.n_blocks):
+            blk = f"{prefix}encoder_blocks.{enc_idx}"
+            params[f"enc_{i_level}_{j}"] = _res_block(
+                sd, f"{blk}.0", has_shortcut=(ch != ch_))
+            ch = ch_
+            if attn:
+                params[f"enc_attn_{i_level}_{j}"] = _attention_block(
+                    sd, f"{blk}.1")
+            enc_idx += 1
+
+    params["bottleneck_res1"] = _res_block(
+        sd, f"{prefix}bottleneck.0",
+        has_shortcut=(ch != config.bottleneck_channels))
+    ch = config.bottleneck_channels
+    params["bottleneck_attn"] = _attention_block(sd, f"{prefix}bottleneck.1")
+    params["bottleneck_res2"] = _res_block(sd, f"{prefix}bottleneck.2",
+                                           has_shortcut=False)
+
+    # decoder: skip channels pop in reverse of the encoder push order
+    skip_chs = [config.channels_list[0]]
+    c = config.channels_list[0]
+    for ch_, down, attn in zip(config.channels_list, config.downsample_list,
+                               config.attn_list):
+        if down:
+            skip_chs.append(c)
+        for _ in range(config.n_blocks):
+            c = ch_
+            skip_chs.append(c)
+
+    dec_idx = 0
+    for i_level in reversed(range(len(config.channels_list))):
+        ch_ = max(config.channels_list[i_level], config.min_channels_decoder)
+        down = config.downsample_list[i_level]
+        attn = config.attn_list[i_level]
+        for j in range(config.n_blocks):
+            blk = f"{prefix}decoder_blocks.{dec_idx}"
+            cat_ch = ch + skip_chs.pop()
+            params[f"dec_{i_level}_{j}"] = _res_block(
+                sd, f"{blk}.0", has_shortcut=(cat_ch != ch_))
+            ch = ch_
+            if attn:
+                params[f"dec_attn_{i_level}_{j}"] = _attention_block(
+                    sd, f"{blk}.1")
+            dec_idx += 1
+        if down:
+            blk = f"{prefix}decoder_blocks.{dec_idx}"
+            cat_ch = ch + skip_chs.pop()
+            params[f"up_res_{i_level}"] = _res_block(
+                sd, f"{blk}.0", has_shortcut=(cat_ch != ch))
+            conv_idx = 2 if not attn else 3
+            if attn:
+                params[f"up_attn_{i_level}"] = _attention_block(sd, f"{blk}.1")
+            params[f"up_conv_{i_level}"] = _conv2d(sd, f"{blk}.{conv_idx}")
+            dec_idx += 1
+
+    final = f"{prefix}decoder_blocks.{dec_idx}"
+    cat_ch = ch + skip_chs.pop()
+    ch_ = max(config.channels_list[0], config.min_channels_decoder)
+    params["out_res"] = _res_block(sd, f"{final}.0",
+                                   has_shortcut=(cat_ch != ch_))
+    params["out_norm"] = _gn(sd, f"{final}.1")
+    k = 3
+    if config.upscale_factor != 1:
+        n_factors = int(_np_mod.log2(config.upscale_factor))
+        for fi in range(n_factors):
+            params[f"upscale_{fi}"] = _conv2d(sd, f"{final}.{k}")
+            k += 2
+    params["out_conv"] = _conv2d(sd, f"{final}.{k}")
+    return {"params": params}
+
+
+def convert_res_cnn(sd, config, prefix: str = "") -> Params:
+    """ResCNN / EDSR (nppc/networks.py:326-385) -> image_nets.ResCNN."""
+    import numpy as _np_mod
+    params: Params = {}
+    params["in_conv"] = _conv2d(sd, f"{prefix}net.0")
+    for i in range(config.n_blocks):
+        blk = f"{prefix}net.{1 + i}"
+        params[f"block_{i}_conv1"] = _conv2d(sd, f"{blk}.base.0")
+        params[f"block_{i}_conv2"] = _conv2d(sd, f"{blk}.base.2")
+    k = 1 + config.n_blocks
+    params["mid_conv"] = _conv2d(sd, f"{prefix}net.{k}")
+    k += 2  # empty ShortcutBlock holds no params
+    if config.upscale_factor != 1:
+        n_factors = int(_np_mod.log2(config.upscale_factor))
+        for fi in range(n_factors):
+            params[f"upscale_{fi}"] = _conv2d(sd, f"{prefix}net.{k}")
+            k += 2
+    params["out_conv"] = _conv2d(sd, f"{prefix}net.{k}")
+    return {"params": params}
