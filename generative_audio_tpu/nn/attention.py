@@ -22,6 +22,10 @@ __all__ = [
     "ChannelCBAMLayer",
     "ChannelECALayer",
     "SelfAttentionLayer",
+    "ChannelTimeSenseSEWeightLayer",
+    "ChannelDeepTimeSenseSELayer",
+    "ConvAttentionBlock",
+    "ChannelTimeSenseAttentionSELayer",
     "make_channel_attention",
 ]
 
@@ -144,3 +148,109 @@ def make_channel_attention(kind: str, num_channels: int,
     if kind == "ECA":
         return ChannelECALayer(name=name)
     raise NotImplementedError(f"Unknown channel attention model {kind!r}")
+
+
+class ChannelTimeSenseSEWeightLayer(nn.Module):
+    """TSSE variant that also returns the per-channel weights.
+    Ref attention_model.py:101-157."""
+    num_channels: int
+    reduction_ratio: int = 2
+    kersize: Sequence[int] = (3, 5, 10)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        small = _DepthwiseTimeConvPool(self.num_channels, self.kersize[0],
+                                       name="smallConv1d")(x)
+        middle = _DepthwiseTimeConvPool(self.num_channels, self.kersize[1],
+                                        name="middleConv1d")(x)
+        large = _DepthwiseTimeConvPool(self.num_channels, self.kersize[2],
+                                       name="largeConv1d")(x)
+        feature = jnp.stack([small, middle, large], axis=2)  # [B, C, 3]
+        squeeze = nn.Dense(1, name="feature_concate_fc")(feature)[..., 0]
+        h = jax.nn.relu(nn.Dense(self.num_channels // self.reduction_ratio,
+                                 name="fc1")(squeeze))
+        scale = jax.nn.sigmoid(nn.Dense(self.num_channels, name="fc2")(h))
+        return x * scale[:, :, None], scale[:, :, None]
+
+
+class _DeepDepthwiseTimeConvPool(nn.Module):
+    """conv -> ReLU -> conv -> ReLU -> global mean (deep TSSE branch).
+    Ref attention_model.py:176-198 (note: pool comes LAST here, and there is
+    no trailing ReLU, unlike the shallow branch)."""
+    num_channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # [B, C, T] -> [B, C]
+        y = jnp.swapaxes(x, 1, 2)                         # [B, T, C]
+        for i in range(2):
+            y = nn.Conv(self.num_channels, kernel_size=(self.kernel_size,),
+                        padding="VALID",
+                        feature_group_count=self.num_channels,
+                        name=f"conv{i}")(y)
+            y = jax.nn.relu(y)
+        return y.mean(axis=1)
+
+
+class ChannelDeepTimeSenseSELayer(nn.Module):
+    """TSSE with two stacked depthwise convs per scale.
+    Ref attention_model.py:159-221."""
+    num_channels: int
+    reduction_ratio: int = 2
+    kersize: Sequence[int] = (3, 5, 10)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        small = _DeepDepthwiseTimeConvPool(self.num_channels, self.kersize[0],
+                                           name="smallConv1d")(x)
+        middle = _DeepDepthwiseTimeConvPool(self.num_channels, self.kersize[1],
+                                            name="middleConv1d")(x)
+        large = _DeepDepthwiseTimeConvPool(self.num_channels, self.kersize[2],
+                                           name="largeConv1d")(x)
+        feature = jnp.stack([small, middle, large], axis=2)
+        squeeze = nn.Dense(1, name="feature_concate_fc")(feature)[..., 0]
+        h = jax.nn.relu(nn.Dense(self.num_channels // self.reduction_ratio,
+                                 name="fc1")(squeeze))
+        scale = jax.nn.sigmoid(nn.Dense(self.num_channels, name="fc2")(h))
+        return x * scale[:, :, None]
+
+
+class ConvAttentionBlock(nn.Module):
+    """Depthwise conv -> self-attention over time -> global mean -> ReLU.
+    Ref attention_model.py:224-245 (Conv_Attention_Block)."""
+    num_channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # [B, C, T] -> [B, C]
+        y = jnp.swapaxes(x, 1, 2)                         # [B, T, C]
+        y = nn.Conv(self.num_channels, kernel_size=(self.kernel_size,),
+                    padding="VALID",
+                    feature_group_count=self.num_channels, name="conv1d")(y)
+        y = SelfAttentionLayer(amp_dim=self.num_channels,
+                               att_dim=self.num_channels,
+                               name="attention")(y, y, y)
+        return jax.nn.relu(y.mean(axis=1))
+
+
+class ChannelTimeSenseAttentionSELayer(nn.Module):
+    """TSSE with attention-augmented multi-scale branches.
+    Ref attention_model.py:247-293."""
+    num_channels: int
+    reduction_ratio: int = 2
+    kersize: Sequence[int] = (3, 5, 10)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        small = ConvAttentionBlock(self.num_channels, self.kersize[0],
+                                   name="smallConv1d")(x)
+        middle = ConvAttentionBlock(self.num_channels, self.kersize[1],
+                                    name="middleConv1d")(x)
+        large = ConvAttentionBlock(self.num_channels, self.kersize[2],
+                                   name="largeConv1d")(x)
+        feature = jnp.stack([small, middle, large], axis=2)
+        squeeze = nn.Dense(1, name="feature_concate_fc")(feature)[..., 0]
+        h = jax.nn.relu(nn.Dense(self.num_channels // self.reduction_ratio,
+                                 name="fc1")(squeeze))
+        scale = jax.nn.sigmoid(nn.Dense(self.num_channels, name="fc2")(h))
+        return x * scale[:, :, None]

@@ -194,3 +194,70 @@ class SequenceModel(nn.Module):
         if self.output_activate_function:
             y = _ACTIVATIONS[self.output_activate_function](y)
         return jnp.swapaxes(y, 1, 2)                   # [B, F', T]
+
+
+class ComplexSequenceModel(nn.Module):
+    """Complex LSTM/GRU: shared real/imag towers with the
+    (r2r - i2i, i2r + r2i) complex pairing.
+
+    Reference: audio_zen/model/module/sequence_model.py:126-243
+    (Complex_SequenceModel). Input [B, 2F, T] = concat(real, imag) along the
+    feature axis; output [B, 2*output_size, T].
+    """
+    input_size: int
+    output_size: int
+    hidden_size: int
+    num_layers: int = 2
+    bidirectional: bool = False
+    sequence_model: str = "GRU"
+    output_activate_function: Optional[str] = "Tanh"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert x.ndim == 3, f"expected [B, 2F, T], got {x.shape}"
+        layer_cls = {"LSTM": LSTMLayer, "GRU": GRULayer}.get(
+            self.sequence_model)
+        if layer_cls is None:
+            raise NotImplementedError(f"Not implemented {self.sequence_model}")
+
+        real, imag = jnp.split(x, 2, axis=1)
+        real = jnp.swapaxes(real, 1, 2)                  # [B, T, F]
+        imag = jnp.swapaxes(imag, 1, 2)
+
+        # Two towers, each applied to both the real and the imag stream —
+        # batch the two streams together so each tower runs ONE scan over a
+        # 2B batch instead of two scans (same math, half the kernel launches).
+        both = jnp.concatenate([real, imag], axis=0)     # [2B, T, F]
+        y_real_tower = both
+        y_imag_tower = both
+        for i in range(self.num_layers):
+            y_real_tower = layer_cls(
+                hidden_size=self.hidden_size,
+                bidirectional=self.bidirectional,
+                compute_dtype=self.compute_dtype,
+                name=f"real_layer_{i}")(y_real_tower)
+            y_imag_tower = layer_cls(
+                hidden_size=self.hidden_size,
+                bidirectional=self.bidirectional,
+                compute_dtype=self.compute_dtype,
+                name=f"imag_layer_{i}")(y_imag_tower)
+        b = real.shape[0]
+        r2r, i2r = y_real_tower[:b], y_real_tower[b:]
+        r2i, i2i = y_imag_tower[:b], y_imag_tower[b:]
+
+        real_out = r2r - i2i
+        imag_out = i2r + r2i
+        real_out = nn.Dense(self.output_size, name="real_fc_output_layer",
+                            dtype=self.compute_dtype,
+                            param_dtype=jnp.float32)(real_out)
+        imag_out = nn.Dense(self.output_size, name="imag_fc_output_layer",
+                            dtype=self.compute_dtype,
+                            param_dtype=jnp.float32)(imag_out)
+        real_out = real_out.astype(jnp.float32)
+        imag_out = imag_out.astype(jnp.float32)
+        if self.output_activate_function:
+            act = _ACTIVATIONS[self.output_activate_function]
+            real_out, imag_out = act(real_out), act(imag_out)
+        return jnp.concatenate([jnp.swapaxes(real_out, 1, 2),
+                                jnp.swapaxes(imag_out, 1, 2)], axis=1)

@@ -22,3 +22,11 @@ from generative_audio_tpu.ops.preprocess import (  # noqa: F401
     preprocess_log_magnitude, preprocess_data, expand_frame_mask,
 )
 from generative_audio_tpu.ops import waveform  # noqa: F401
+from generative_audio_tpu.ops.conv_stft import (  # noqa: F401
+    conv_stft_kernel, conv_stft, conv_istft,
+)
+from generative_audio_tpu.ops.multichannel import (  # noqa: F401
+    ChannelWiseLayerNorm, DirectionalFeatureComputer,
+    ChannelDirectionalFeatureComputer, compute_ipd,
+)
+from generative_audio_tpu.ops import beamforming  # noqa: F401

@@ -389,3 +389,62 @@ def convert_res_cnn(sd, config, prefix: str = "") -> Params:
             k += 2
     params["out_conv"] = _conv2d(sd, f"{prefix}net.{k}")
     return {"params": params}
+
+
+def convert_complex_sequence_model(sd, prefix: str = "", num_layers: int = 2,
+                                   bidirectional: bool = False) -> Params:
+    """Complex_SequenceModel (sequence_model.py:126-243) ->
+    recurrent.ComplexSequenceModel."""
+    params: Params = {}
+    for tower in ("real", "imag"):
+        for layer in range(num_layers):
+            entry = {}
+            for suffix in ([""] if not bidirectional else ["", "_reverse"]):
+                mod = f"{prefix}{tower}_sequence_model"
+                entry[f"w_ih{suffix}"] = _np(
+                    sd, f"{mod}.weight_ih_l{layer}{suffix}").T
+                entry[f"w_hh{suffix}"] = _np(
+                    sd, f"{mod}.weight_hh_l{layer}{suffix}").T
+                entry[f"b_ih{suffix}"] = _np(
+                    sd, f"{mod}.bias_ih_l{layer}{suffix}")
+                entry[f"b_hh{suffix}"] = _np(
+                    sd, f"{mod}.bias_hh_l{layer}{suffix}")
+            params[f"{tower}_layer_{layer}"] = entry
+        params[f"{tower}_fc_output_layer"] = _dense(
+            sd, f"{prefix}{tower}_fc_output_layer")
+    return params
+
+
+def convert_self_attention(sd, prefix: str = "") -> Params:
+    """SelfAttentionlayer (attention_model.py:362-389)."""
+    return {"q_linear": _dense(sd, f"{prefix}q_linear"),
+            "k_linear": _dense(sd, f"{prefix}k_linear"),
+            "v_linear": _dense(sd, f"{prefix}v_linear"),
+            "out": _dense(sd, f"{prefix}out")}
+
+
+def convert_deep_tsse(sd, prefix: str = "") -> Params:
+    """ChannelDeepTimeSenseSELayer (attention_model.py:159-221): two stacked
+    depthwise convs per branch (Sequential indices 0 and 2)."""
+    out: Params = {}
+    for branch in ("smallConv1d", "middleConv1d", "largeConv1d"):
+        out[branch] = {"conv0": _conv1d(sd, f"{prefix}{branch}.0"),
+                       "conv1": _conv1d(sd, f"{prefix}{branch}.2")}
+    out["feature_concate_fc"] = _dense(sd, f"{prefix}feature_concate_fc")
+    out["fc1"] = _dense(sd, f"{prefix}fc1")
+    out["fc2"] = _dense(sd, f"{prefix}fc2")
+    return out
+
+
+def convert_attention_tsse(sd, prefix: str = "") -> Params:
+    """ChannelTimeSenseAttentionSELayer (attention_model.py:247-293)."""
+    out: Params = {}
+    for branch in ("smallConv1d", "middleConv1d", "largeConv1d"):
+        out[branch] = {
+            "conv1d": _conv1d(sd, f"{prefix}{branch}.conv1d"),
+            "attention": convert_self_attention(
+                sd, f"{prefix}{branch}.attention.")}
+    out["feature_concate_fc"] = _dense(sd, f"{prefix}feature_concate_fc")
+    out["fc1"] = _dense(sd, f"{prefix}fc1")
+    out["fc2"] = _dense(sd, f"{prefix}fc2")
+    return out
