@@ -24,13 +24,23 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     batch_stats: Any = None
+    # Optional EMA shadow of params (reference NetWrapper's ema,
+    # nppc/auxil.py:370-378); None disables.
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads, new_batch_stats=None):
         updates, new_opt_state = self.tx.update(grads, self.opt_state,
                                                 self.params)
         new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:
+            d = self.ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, new_ema, new_params)
         return self.replace(
             step=self.step + 1, params=new_params, opt_state=new_opt_state,
+            ema_params=new_ema,
             batch_stats=(new_batch_stats if new_batch_stats is not None
                          else self.batch_stats))
 
@@ -49,7 +59,9 @@ def make_optimizer(learning_rate: float = 1e-3, betas=(0.9, 0.999),
 
 
 def create_train_state(params, tx: optax.GradientTransformation,
-                       batch_stats=None) -> TrainState:
+                       batch_stats=None, ema_decay: float = 0.0) -> TrainState:
+    ema = (jax.tree_util.tree_map(lambda x: x, params)
+           if ema_decay > 0 else None)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params), batch_stats=batch_stats,
-                      tx=tx)
+                      ema_params=ema, ema_decay=ema_decay, tx=tx)
