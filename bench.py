@@ -32,12 +32,11 @@ def main():
     config = FullSubNetPlusConfig()
     model = FullSubNetPlus(config, compute_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    # init on CPU (eager init on the TPU tunnel is minutes-slow), then move.
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        dummy = jnp.zeros((1, 1, config.num_freqs, 16), jnp.float32)
-        params = model.init(jax.random.PRNGKey(0), dummy, dummy, dummy)["params"]
-    params = jax.device_put(params, jax.devices()[0])
+    # jitted init: one compile on the device (eager init on the TPU tunnel
+    # is minutes-slow; CPU init would lower the Pallas LSTM for CPU).
+    dummy = jnp.zeros((1, 1, config.num_freqs, 16), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy,
+                                 dummy)["params"]
 
     @jax.jit
     def enhance(params, wav_in):
@@ -51,10 +50,12 @@ def main():
     out = np.asarray(enhance(params, wavs))  # compile + warm
     assert np.all(np.isfinite(out))
 
-    iters = 10
+    # Sustained throughput: async-dispatch all iterations, then block once —
+    # per-iteration blocking measures tunnel round-trip latency, not the chip.
+    iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        enhance(params, wavs).block_until_ready()
+    outs = [enhance(params, wavs) for _ in range(iters)]
+    jax.block_until_ready(outs)
     elapsed = time.perf_counter() - t0
 
     audio_seconds = iters * batch * clip_seconds

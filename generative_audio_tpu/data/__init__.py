@@ -25,3 +25,4 @@ from generative_audio_tpu.data.image_data import (  # noqa: F401
     split_batch, crop_scaled_pair, synthetic_digits, MNISTDataModule,
     CelebAHQ256DataModule, CelebASRFlowDataModule, make_data_module,
 )
+from generative_audio_tpu.data import native  # noqa: F401

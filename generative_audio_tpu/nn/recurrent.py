@@ -37,10 +37,16 @@ def _uniform_init(hidden_size: int):
 
 
 class LSTMLayer(nn.Module):
-    """Single (optionally bidirectional) LSTM layer over [B, T, F] input."""
+    """Single (optionally bidirectional) LSTM layer over [B, T, F] input.
+
+    use_pallas: None (default) auto-selects the fused Pallas scan kernel
+    (ops.pallas_lstm) on TPU and the lax.scan path elsewhere; True/False
+    forces. The Pallas path keeps gates bf16 time-major end-to-end (halves
+    HBM traffic vs the fp32 hoisted buffer and keeps h/c in VMEM)."""
     hidden_size: int
     bidirectional: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: Optional[bool] = None
 
     def _direction_params(self, input_size: int, suffix: str):
         h = self.hidden_size
@@ -51,9 +57,31 @@ class LSTMLayer(nn.Module):
         b_hh = self.param(f"b_hh{suffix}", init, (4 * h,))
         return w_ih, w_hh, b_ih + b_hh
 
+    def _want_pallas(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        from generative_audio_tpu.ops.pallas_lstm import pallas_available
+        return pallas_available()
+
     def _scan(self, x, w_ih, w_hh, bias, reverse: bool):
         h = self.hidden_size
         cdt = self.compute_dtype
+
+        if self._want_pallas():
+            from generative_audio_tpu.ops.pallas_lstm import (
+                lstm_scan_tm, pallas_available)
+            # bf16 gates on real TPU; CPU XLA (interpret-mode tests) lacks
+            # bf16 matmul support outside the kernel, so keep cdt there.
+            pdt = jnp.bfloat16 if pallas_available() else cdt
+            # Projection written time-major directly — never materializes a
+            # [B, T, 4H] transpose pass (see ops/pallas_lstm.py docstring).
+            gates_tm = jnp.einsum(
+                "btf,fg->tbg", x.astype(pdt), w_ih.astype(pdt),
+                preferred_element_type=jnp.float32) + bias
+            ys_tm = lstm_scan_tm(gates_tm.astype(pdt), w_hh,
+                                 reverse=reverse, out_dtype=cdt)
+            return jnp.swapaxes(ys_tm, 0, 1)  # [B, T, H]
+
         # Hoisted input projection: one big MXU matmul over all timesteps.
         gates_x = jnp.einsum(
             "btf,fg->btg", x.astype(cdt), w_ih.astype(cdt),

@@ -1,0 +1,183 @@
+"""Pallas fused LSTM scan — the sub-band model's hot loop on TPU.
+
+The FullSubNet+ sub-band LSTM runs B*F (~2k) sequences of ~200-600 frames
+through 2 LSTM layers (SURVEY.md §3.1 hot loops). The lax.scan reference
+implementation materializes the hoisted input projection [B, T, 4H] in fp32
+(~8 GB at 10 s inference shapes — OOMs one chip) and re-reads it every step.
+
+This kernel:
+  * is TIME-MAJOR end-to-end ([T, B, 4H] gates in bf16, [T, B, H] out):
+    the projection einsum writes time-major directly, so no multi-GB
+    transpose pass ever materializes (on the axon tunnel backend a
+    standalone 4 GB transpose measured 50 s; fused, the whole layer is
+    ~37 ms),
+  * keeps h and c resident in VMEM scratch (fp32) across the whole time
+    loop — they never touch HBM,
+  * runs the per-step [Bb, H] x [H, 4H] recurrence matmul on the MXU fused
+    with the gate nonlinearities (VPU) in one pipeline stage,
+  * grid = (batch_blocks, T): T iterates fastest (sequential semantics);
+    Pallas double-buffers the per-step gate-tile DMA against compute,
+  * supports reverse scans via reversed index maps (bidirectional LSTMs
+    without flipping the gate buffer in HBM).
+
+Training support: `lstm_scan_tm` carries a custom VJP whose backward
+recomputes through the lax.scan reference implementation (rematerialization)
+— the Pallas kernel only needs to be correct for the forward pass.
+
+Layout notes: gates are in torch order (i, f, g, o) to match
+nn.recurrent.LSTMLayer's fused weights.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["lstm_scan_tm", "lstm_scan_reference_tm", "pallas_available"]
+
+
+def pallas_available() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def lstm_scan_reference_tm(gates_x: jnp.ndarray, w_hh: jnp.ndarray,
+                           reverse: bool = False,
+                           compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """lax.scan LSTM recurrence over hoisted time-major gates.
+    gates_x [T, B, 4H], w_hh [H, 4H] -> h sequence [T, B, H] fp32."""
+    h_size = w_hh.shape[0]
+    b = gates_x.shape[1]
+    w_hh_c = w_hh.astype(compute_dtype)
+
+    def step(carry, gx):
+        h_prev, c_prev = carry
+        gates = gx.astype(jnp.float32) + jnp.matmul(
+            h_prev.astype(compute_dtype), w_hh_c,
+            preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h_new, c), h_new
+
+    init = (jnp.zeros((b, h_size), jnp.float32),
+            jnp.zeros((b, h_size), jnp.float32))
+    _, ys = jax.lax.scan(step, init, gates_x, reverse=reverse)
+    return ys
+
+
+def _lstm_kernel(gx_ref, whh_ref, out_ref, h_scratch, c_scratch):
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[:] = jnp.zeros_like(h_scratch)
+        c_scratch[:] = jnp.zeros_like(c_scratch)
+
+    gates = gx_ref[0].astype(jnp.float32) + jnp.dot(
+        h_scratch[:].astype(jnp.bfloat16), whh_ref[:],
+        preferred_element_type=jnp.float32)
+    hsz = whh_ref.shape[0]
+    i = jax.nn.sigmoid(gates[:, :hsz])
+    f = jax.nn.sigmoid(gates[:, hsz:2 * hsz])
+    g = jnp.tanh(gates[:, 2 * hsz:3 * hsz])
+    o = jax.nn.sigmoid(gates[:, 3 * hsz:])
+    c = f * c_scratch[:] + i * g
+    h_new = o * jnp.tanh(c)
+    c_scratch[:] = c
+    h_scratch[:] = h_new
+    out_ref[0] = h_new.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "interpret", "out_dtype", "reverse"))
+def _lstm_pallas_call(gates_x_tm: jnp.ndarray, w_hh: jnp.ndarray,
+                      block_b: int = 256, interpret: bool = False,
+                      out_dtype=jnp.bfloat16, reverse: bool = False):
+    """gates_x_tm: [T, B_padded, 4H] bf16 -> [T, B_padded, H] out_dtype."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_len, b_pad, g4 = gates_x_tm.shape
+    hsz = g4 // 4
+    n_blocks = b_pad // block_b
+
+    if reverse:
+        def time_map(b, t, _t=t_len):
+            return (_t - 1 - t, b, 0)
+    else:
+        def time_map(b, t):
+            return (t, b, 0)
+
+    return pl.pallas_call(
+        _lstm_kernel,
+        grid=(n_blocks, t_len),
+        in_specs=[
+            pl.BlockSpec((1, block_b, g4), time_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hsz, g4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_b, hsz), time_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_len, b_pad, hsz), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, hsz), jnp.float32),   # h state
+            pltpu.VMEM((block_b, hsz), jnp.float32),   # c state
+        ],
+        interpret=interpret,
+    )(gates_x_tm, w_hh.astype(jnp.bfloat16))
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _forward_pallas(gates_x, w_hh, reverse, block_b, interpret, out_dtype):
+    t_len, b, g4 = gates_x.shape
+    block = min(block_b, _round_up(b, 8))
+    b_pad = _round_up(b, block)
+    gx = gates_x.astype(jnp.bfloat16)
+    if b_pad != b:
+        gx = jnp.pad(gx, ((0, 0), (0, b_pad - b), (0, 0)))
+    out = _lstm_pallas_call(gx, w_hh, block_b=block, interpret=interpret,
+                            out_dtype=out_dtype, reverse=reverse)
+    return out[:, :b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def lstm_scan_tm(gates_x: jnp.ndarray, w_hh: jnp.ndarray,
+                 reverse: bool = False, block_b: int = 256,
+                 interpret: Optional[bool] = None,
+                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Fused LSTM recurrence, time-major: gates_x [T, B, 4H] (torch gate
+    order, bias already added; bf16 preferred), w_hh [H, 4H] ->
+    h sequence [T, B, H] in out_dtype.
+
+    Forward runs the Pallas kernel on TPU (interpret mode elsewhere);
+    backward rematerializes through lstm_scan_reference_tm.
+    """
+    interp = (not pallas_available()) if interpret is None else interpret
+    return _forward_pallas(gates_x, w_hh, reverse, block_b, interp,
+                           out_dtype)
+
+
+def _lstm_fwd(gates_x, w_hh, reverse, block_b, interpret, out_dtype):
+    out = lstm_scan_tm(gates_x, w_hh, reverse, block_b, interpret, out_dtype)
+    return out, (gates_x, w_hh)
+
+
+def _lstm_bwd(reverse, block_b, interpret, out_dtype, residuals, g):
+    gates_x, w_hh = residuals
+    _, vjp = jax.vjp(
+        lambda gx, w: lstm_scan_reference_tm(gx.astype(jnp.float32), w,
+                                             reverse=reverse),
+        gates_x, w_hh)
+    dgx, dw = vjp(g.astype(jnp.float32))
+    return dgx.astype(gates_x.dtype), dw
+
+
+lstm_scan_tm.defvjp(_lstm_fwd, _lstm_bwd)

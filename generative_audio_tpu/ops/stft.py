@@ -100,12 +100,25 @@ def _frame_indices(length: int, n_fft: int, hop_length: int) -> np.ndarray:
 
 def frame_signal(y: jnp.ndarray, n_fft: int, hop_length: int,
                  center: bool = True) -> jnp.ndarray:
-    """[..., L] -> [..., T, n_fft] framed view (gather), reflect-padded if center."""
+    """[..., L] -> [..., T, n_fft] framed signal, reflect-padded if center.
+
+    When hop divides n_fft (all 50%-overlap configs) framing is a reshape +
+    k slice-concats — pure dataflow the TPU executes at copy speed. The
+    generic gather fallback measured ~25x slower on the axon backend."""
     if center:
         pad = n_fft // 2
         pad_widths = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
         y = jnp.pad(y, pad_widths, mode="reflect")
-    idx = _frame_indices(y.shape[-1], n_fft, hop_length)
+    length = y.shape[-1]
+    n_frames = 1 + (length - n_fft) // hop_length
+    if n_fft % hop_length == 0:
+        k = n_fft // hop_length
+        n_chunks = length // hop_length
+        chunks = y[..., :n_chunks * hop_length].reshape(
+            y.shape[:-1] + (n_chunks, hop_length))
+        parts = [chunks[..., j:j + n_frames, :] for j in range(k)]
+        return jnp.concatenate(parts, axis=-1)
+    idx = _frame_indices(length, n_fft, hop_length)
     return y[..., idx]
 
 
@@ -155,12 +168,27 @@ def stft(y: jnp.ndarray, n_fft: int, hop_length: int,
 
 def _overlap_add(frames: jnp.ndarray, hop_length: int, out_length: int
                  ) -> jnp.ndarray:
-    """[..., T, n_fft] -> [..., out_length] via scatter-add."""
+    """[..., T, n_fft] -> [..., out_length] overlap-add.
+
+    When hop divides n_fft this is k shifted pad+adds of hop-sized chunk
+    grids (no scatter); otherwise a scatter-add fallback."""
     n_frames, n_fft = frames.shape[-2], frames.shape[-1]
+    batch_shape = frames.shape[:-2]
+    if n_fft % hop_length == 0:
+        k = n_fft // hop_length
+        total_chunks = n_frames + k - 1
+        out = jnp.zeros(batch_shape + (total_chunks, hop_length),
+                        frames.dtype)
+        pad_spec = [(0, 0)] * len(batch_shape)
+        for d in range(k):
+            part = frames[..., :, d * hop_length:(d + 1) * hop_length]
+            out = out + jnp.pad(
+                part, pad_spec + [(d, total_chunks - n_frames - d), (0, 0)])
+        return out.reshape(batch_shape + (total_chunks * hop_length,)
+                           )[..., :out_length]
     idx = jnp.asarray(_frame_indices((n_frames - 1) * hop_length + n_fft,
                                      n_fft, hop_length))
     flat_idx = idx.reshape(-1)
-    batch_shape = frames.shape[:-2]
     flat = frames.reshape(batch_shape + (n_frames * n_fft,))
 
     def oa_1d(fr):

@@ -1,0 +1,90 @@
+"""Pallas fused LSTM: interpret-mode numerics vs the lax.scan reference,
+gradient flow through the custom VJP, and LSTMLayer wiring.
+
+On CPU the kernel runs in Pallas interpret mode — same program, no TPU
+needed; the real-chip speed path is exercised by bench.py.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from generative_audio_tpu.ops.pallas_lstm import (
+    lstm_scan_tm, lstm_scan_reference_tm)
+from generative_audio_tpu.nn.recurrent import LSTMLayer
+
+
+def _rand(shape, scale=0.5, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape) * scale,
+        jnp.float32)
+
+
+class TestPallasLSTM:
+    def test_forward_matches_reference(self):
+        t, b, h = 13, 12, 16
+        gx = _rand((t, b, 4 * h))
+        whh = _rand((h, 4 * h), scale=0.2, seed=1)
+        want = np.asarray(lstm_scan_reference_tm(gx, whh))
+        got = np.asarray(lstm_scan_tm(gx, whh, out_dtype=jnp.float32))
+        np.testing.assert_allclose(got, want, atol=5e-3)
+
+    def test_reverse_matches_reference(self):
+        t, b, h = 9, 8, 8
+        gx = _rand((t, b, 4 * h), seed=2)
+        whh = _rand((h, 4 * h), scale=0.2, seed=3)
+        want = np.asarray(lstm_scan_reference_tm(gx, whh, reverse=True))
+        got = np.asarray(lstm_scan_tm(gx, whh, reverse=True,
+                                      out_dtype=jnp.float32))
+        np.testing.assert_allclose(got, want, atol=5e-3)
+        # and differs from the forward scan
+        fwd = np.asarray(lstm_scan_tm(gx, whh, out_dtype=jnp.float32))
+        assert np.abs(fwd - got).max() > 1e-3
+
+    def test_batch_padding(self):
+        """b not a multiple of the block size exercises the pad/crop path."""
+        t, b, h = 5, 11, 8
+        gx = _rand((t, b, 4 * h), seed=4)
+        whh = _rand((h, 4 * h), scale=0.2, seed=5)
+        got = np.asarray(lstm_scan_tm(gx, whh, out_dtype=jnp.float32))
+        want = np.asarray(lstm_scan_reference_tm(gx, whh))
+        assert got.shape == (t, b, h)
+        np.testing.assert_allclose(got, want, atol=5e-3)
+
+    def test_gradients_flow(self):
+        t, b, h = 7, 8, 8
+        gx = _rand((t, b, 4 * h), seed=6)
+        whh = _rand((h, 4 * h), scale=0.2, seed=7)
+
+        def loss_p(gx, w):
+            return jnp.sum(lstm_scan_tm(gx, w, False, 256, None,
+                                        jnp.float32) ** 2)
+
+        def loss_r(gx, w):
+            return jnp.sum(lstm_scan_reference_tm(gx, w) ** 2)
+
+        gp = jax.grad(loss_p, argnums=(0, 1))(gx, whh)
+        gr = jax.grad(loss_r, argnums=(0, 1))(gx, whh)
+        np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]),
+                                   atol=2e-2, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
+                                   atol=2e-2, rtol=1e-2)
+
+    def test_lstm_layer_pallas_matches_scan_path(self):
+        x = _rand((3, 10, 6), seed=8)
+        layer_scan = LSTMLayer(hidden_size=8, use_pallas=False)
+        params = layer_scan.init(jax.random.PRNGKey(0), x)
+        want = np.asarray(layer_scan.apply(params, x))
+        layer_pallas = LSTMLayer(hidden_size=8, use_pallas=True)
+        got = np.asarray(layer_pallas.apply(params, x))
+        np.testing.assert_allclose(got, want, atol=5e-3)
+
+    def test_lstm_layer_pallas_bidirectional(self):
+        x = _rand((2, 6, 4), seed=9)
+        layer_scan = LSTMLayer(hidden_size=8, bidirectional=True,
+                               use_pallas=False)
+        params = layer_scan.init(jax.random.PRNGKey(1), x)
+        want = np.asarray(layer_scan.apply(params, x))
+        layer_pallas = LSTMLayer(hidden_size=8, bidirectional=True,
+                                 use_pallas=True)
+        got = np.asarray(layer_pallas.apply(params, x))
+        np.testing.assert_allclose(got, want, atol=5e-3)
