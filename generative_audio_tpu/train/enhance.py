@@ -101,7 +101,7 @@ class EnhanceTrainer:
 
     def __init__(self, config: EnhanceTrainConfig,
                  checkpoint_dir=None, subband_sharding=None, seed: int = 0,
-                 pretrained_params=None):
+                 pretrained_params=None, tracker=None):
         from generative_audio_tpu.train.checkpoint import CheckpointManager
         self.config = config
         self.state = init_enhance_state(config, jax.random.PRNGKey(seed))
@@ -113,6 +113,8 @@ class EnhanceTrainer:
                      if checkpoint_dir else None)
         self.best_score = -float("inf")
         self.loss_history = []
+        self.val_history = []
+        self.tracker = tracker  # utils.tracking.ExperimentTracker or None
 
     def train_epoch(self, loader, log=print) -> float:
         total, n = 0.0, 0
@@ -122,6 +124,8 @@ class EnhanceTrainer:
             n += 1
         avg = total / max(n, 1)
         self.loss_history.append(avg)
+        if self.tracker is not None:
+            self.tracker.log({"train_loss": avg}, step=int(self.state.step))
         return avg
 
     def validate(self, dataset, max_items: int = 10) -> dict:
@@ -157,7 +161,21 @@ class EnhanceTrainer:
             if val_dataset is not None and epoch % validation_interval == 0:
                 scores = self.validate(val_dataset)
                 log(f"[Validate] Epoch {epoch}: {scores}")
+                self.val_history.append(
+                    (step, scores.get("composite") or 0.0))
+                if self.tracker is not None:
+                    self.tracker.log(
+                        {k: v for k, v in scores.items() if v is not None},
+                        step=step)
                 if self.ckpt and scores["composite"] > self.best_score:
                     self.best_score = scores["composite"]
                     self.ckpt.save_best({"params": self.state.params},
                                         scores["composite"], step)
+        if self.ckpt:
+            from generative_audio_tpu.utils.report import (
+                write_training_report)
+            write_training_report(
+                self.ckpt.directory / "report.html", "enhancement training",
+                self.loss_history, self.val_history,
+                {"best_composite": self.best_score,
+                 "steps": int(self.state.step)})

@@ -17,7 +17,8 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["imgs_to_grid", "img_to_png_base64", "HTMLReport"]
+__all__ = ["imgs_to_grid", "img_to_png_base64", "HTMLReport",
+           "write_training_report"]
 
 
 def imgs_to_grid(imgs: np.ndarray, nrow: Optional[int] = None,
@@ -132,3 +133,21 @@ class HTMLReport:
 </body></html>
 """)
         return path
+
+
+def write_training_report(path, title: str, loss_history,
+                          val_history=None, metrics=None) -> Path:
+    """One-call run report: loss curve (+validation overlay) and a final
+    metric table — the reference's per-run HTML dashboard
+    (nppc/restoration.py:803-917)."""
+    rep = HTMLReport(title)
+    series = {"train": list(loss_history)}
+    if val_history:
+        series["validation"] = np.asarray(
+            [(s, v) for s, v in val_history], np.float64)
+    if loss_history or val_history:
+        rep.add_curve("loss", series, logy=bool(
+            loss_history and min(loss_history) > 0))
+    if metrics:
+        rep.add_scalars("final metrics", metrics)
+    return rep.write(path)

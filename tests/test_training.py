@@ -38,8 +38,11 @@ def test_enhance_train_step_reduces_loss(rng):
 
 
 def test_enhance_trainer_epochs_and_checkpoint(tmp_path, rng):
+    from generative_audio_tpu.utils.tracking import ExperimentTracker
     cfg = _enhance_cfg()
-    trainer = T.EnhanceTrainer(cfg, checkpoint_dir=tmp_path / "ckpt")
+    tracker = ExperimentTracker(tmp_path / "runs", run_name="enh")
+    trainer = T.EnhanceTrainer(cfg, checkpoint_dir=tmp_path / "ckpt",
+                               tracker=tracker)
     clean = rng.standard_normal((4, 2048)).astype(np.float32)
     noisy = clean + 0.3 * rng.standard_normal((4, 2048)).astype(np.float32)
     loader = [(noisy, clean)] * 2
@@ -47,6 +50,11 @@ def test_enhance_trainer_epochs_and_checkpoint(tmp_path, rng):
     assert len(trainer.loss_history) == 2
     assert (tmp_path / "ckpt" / "latest").exists()
     assert trainer.ckpt.latest_step() == 4
+    # tracker scalars + self-contained HTML run report
+    rows = tracker.read_scalars()
+    assert len(rows) == 2 and "train_loss" in rows[0]
+    report = (tmp_path / "ckpt" / "report.html").read_text()
+    assert "data:image/png;base64," in report
 
 
 def _inpaint_batch(rng, b=2, f=32, t=64):
