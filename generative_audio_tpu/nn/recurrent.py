@@ -63,24 +63,32 @@ class LSTMLayer(nn.Module):
         from generative_audio_tpu.ops.pallas_lstm import pallas_available
         return pallas_available()
 
-    def _scan(self, x, w_ih, w_hh, bias, reverse: bool):
+    def _scan(self, x, w_ih, w_hh, bias, reverse: bool,
+              time_major: bool = False):
         h = self.hidden_size
         cdt = self.compute_dtype
 
         if self._want_pallas():
             from generative_audio_tpu.ops.pallas_lstm import (
                 lstm_scan_tm, pallas_available)
-            # bf16 gates on real TPU; CPU XLA (interpret-mode tests) lacks
-            # bf16 matmul support outside the kernel, so keep cdt there.
+            # Hoisted projection (one giant MXU matmul, written time-major —
+            # no transpose pass) + the fused Pallas scan over bf16 gates.
+            # NOTE: the fused-projection variant (lstm_layer_tm) that avoids
+            # the gates buffer entirely measured ~2.5x SLOWER here: the scan
+            # is per-step latency-bound, and moving the projection into the
+            # kernel doubles the serial MXU work per step. bf16 on real TPU;
+            # CPU XLA (interpret-mode tests) lacks bf16 matmuls outside the
+            # kernel, so keep cdt there.
             pdt = jnp.bfloat16 if pallas_available() else cdt
-            # Projection written time-major directly — never materializes a
-            # [B, T, 4H] transpose pass (see ops/pallas_lstm.py docstring).
+            x_tm = x if time_major else jnp.swapaxes(x, 0, 1)
             gates_tm = jnp.einsum(
-                "btf,fg->tbg", x.astype(pdt), w_ih.astype(pdt),
+                "tbf,fg->tbg", x_tm.astype(pdt), w_ih.astype(pdt),
                 preferred_element_type=jnp.float32) + bias
             ys_tm = lstm_scan_tm(gates_tm.astype(pdt), w_hh,
                                  reverse=reverse, out_dtype=cdt)
-            return jnp.swapaxes(ys_tm, 0, 1)  # [B, T, H]
+            return ys_tm if time_major else jnp.swapaxes(ys_tm, 0, 1)
+        if time_major:
+            x = jnp.swapaxes(x, 0, 1)
 
         # Hoisted input projection: one big MXU matmul over all timesteps.
         gates_x = jnp.einsum(
@@ -105,18 +113,20 @@ class LSTMLayer(nn.Module):
         init = (jnp.zeros((b, h), jnp.float32), jnp.zeros((b, h), jnp.float32))
         _, ys = jax.lax.scan(step, init, jnp.swapaxes(gates_x, 0, 1),
                              reverse=reverse)
-        return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
+        return ys if time_major else jnp.swapaxes(ys, 0, 1)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 time_major: bool = False) -> jnp.ndarray:
         input_size = x.shape[-1]
         fwd = self._scan(x, *self._direction_params(input_size, ""),
-                         reverse=False)
+                         reverse=False, time_major=time_major)
         if not self.bidirectional:
             return fwd
         bwd = self._scan(x, *self._direction_params(input_size, "_reverse"),
-                         reverse=True)
-        return jnp.concatenate([fwd, bwd], axis=-1)
+                         reverse=True, time_major=time_major)
+        out = jnp.concatenate([fwd, bwd], axis=-1)
+        return out
 
 
 class GRULayer(nn.Module):
@@ -205,14 +215,30 @@ class SequenceModel(nn.Module):
                 name="tcn",
             )(x)                                       # [B, F, T]
             y = jnp.swapaxes(y, 1, 2)                  # [B, T, F]
-        elif kind in ("LSTM", "GRU"):
-            y = jnp.swapaxes(x, 1, 2)                  # [B, T, F]
-            layer_cls = LSTMLayer if kind == "LSTM" else GRULayer
+        elif kind == "LSTM":
+            # Time-major chain: one [B,F,T]->[T,B,F] transpose in, layers
+            # stay time-major (the Pallas kernel's native layout), one
+            # transpose out after the Dense head.
+            y = jnp.transpose(x, (2, 0, 1))            # [T, B, F]
             for i in range(self.num_layers):
-                y = layer_cls(hidden_size=self.hidden_size,
+                y = LSTMLayer(hidden_size=self.hidden_size,
                               bidirectional=self.bidirectional,
                               compute_dtype=self.compute_dtype,
-                              name=f"layer_{i}")(y)
+                              name=f"layer_{i}")(y, time_major=True)
+            y = nn.Dense(self.output_size, name="fc_output_layer",
+                         dtype=self.compute_dtype,
+                         param_dtype=jnp.float32)(y)
+            y = y.astype(jnp.float32)
+            if self.output_activate_function:
+                y = _ACTIVATIONS[self.output_activate_function](y)
+            return jnp.transpose(y, (1, 2, 0))         # [B, F', T]
+        elif kind == "GRU":
+            y = jnp.swapaxes(x, 1, 2)                  # [B, T, F]
+            for i in range(self.num_layers):
+                y = GRULayer(hidden_size=self.hidden_size,
+                             bidirectional=self.bidirectional,
+                             compute_dtype=self.compute_dtype,
+                             name=f"layer_{i}")(y)
         else:
             raise NotImplementedError(f"Not implemented {kind}")
 

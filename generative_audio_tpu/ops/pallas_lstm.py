@@ -35,7 +35,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["lstm_scan_tm", "lstm_scan_reference_tm", "pallas_available"]
+__all__ = ["lstm_scan_tm", "lstm_scan_reference_tm", "lstm_layer_tm",
+           "pallas_available"]
 
 
 def pallas_available() -> bool:
@@ -181,3 +182,139 @@ def _lstm_bwd(reverse, block_b, interpret, out_dtype, residuals, g):
 
 
 lstm_scan_tm.defvjp(_lstm_fwd, _lstm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused-projection LSTM layer: x_t @ W_ih computed in-kernel per step —
+# the [T, B, 4H] gates buffer never exists in HBM at all. Inputs are the
+# raw time-major activations (bf16), 4x smaller than the gates.
+# ---------------------------------------------------------------------------
+def _lstm_layer_kernel(x_ref, wih_ref, whh_ref, bias_ref, out_ref,
+                       h_scratch, c_scratch):
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[:] = jnp.zeros_like(h_scratch)
+        c_scratch[:] = jnp.zeros_like(c_scratch)
+
+    gates = (jnp.dot(x_ref[0], wih_ref[:],
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(h_scratch[:].astype(jnp.bfloat16), whh_ref[:],
+                       preferred_element_type=jnp.float32)
+             + bias_ref[:])
+    hsz = whh_ref.shape[0]
+    i = jax.nn.sigmoid(gates[:, :hsz])
+    f = jax.nn.sigmoid(gates[:, hsz:2 * hsz])
+    g = jnp.tanh(gates[:, 2 * hsz:3 * hsz])
+    o = jax.nn.sigmoid(gates[:, 3 * hsz:])
+    c = f * c_scratch[:] + i * g
+    h_new = o * jnp.tanh(c)
+    c_scratch[:] = c
+    h_scratch[:] = h_new
+    out_ref[0] = h_new.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "interpret", "out_dtype", "reverse"))
+def _lstm_layer_pallas_call(x_tm, w_ih, w_hh, bias, block_b=256,
+                            interpret=False, out_dtype=jnp.bfloat16,
+                            reverse=False):
+    """x_tm [T, B_pad, F_pad] bf16; w_ih [F_pad, 4H]; -> [T, B_pad, H]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_len, b_pad, f_pad = x_tm.shape
+    g4 = w_ih.shape[1]
+    hsz = g4 // 4
+    n_blocks = b_pad // block_b
+
+    if reverse:
+        def time_map(b, t, _t=t_len):
+            return (_t - 1 - t, b, 0)
+    else:
+        def time_map(b, t):
+            return (t, b, 0)
+
+    return pl.pallas_call(
+        _lstm_layer_kernel,
+        grid=(n_blocks, t_len),
+        in_specs=[
+            pl.BlockSpec((1, block_b, f_pad), time_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, g4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hsz, g4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_b, hsz), time_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_len, b_pad, hsz), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, hsz), jnp.float32),
+            pltpu.VMEM((block_b, hsz), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_tm, w_ih.astype(jnp.bfloat16), w_hh.astype(jnp.bfloat16),
+      bias.reshape(1, -1).astype(jnp.float32))
+
+
+def _layer_forward(x_tm, w_ih, w_hh, bias, reverse, block_b, interpret,
+                   out_dtype):
+    t_len, b, f = x_tm.shape
+    block = min(block_b, _round_up(b, 8))
+    b_pad = _round_up(b, block)
+    f_pad = _round_up(f, 128)
+    x_p = x_tm.astype(jnp.bfloat16)
+    if b_pad != b or f_pad != f:
+        x_p = jnp.pad(x_p, ((0, 0), (0, b_pad - b), (0, f_pad - f)))
+    w_p = w_ih if f_pad == f else jnp.pad(w_ih, ((0, f_pad - f), (0, 0)))
+    out = _lstm_layer_pallas_call(x_p, w_p, w_hh, bias, block_b=block,
+                                  interpret=interpret, out_dtype=out_dtype,
+                                  reverse=reverse)
+    return out[:, :b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def lstm_layer_tm(x_tm: jnp.ndarray, w_ih: jnp.ndarray, w_hh: jnp.ndarray,
+                  bias: jnp.ndarray, reverse: bool = False,
+                  block_b: int = 256, interpret: Optional[bool] = None,
+                  out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Whole LSTM layer, time-major, projection fused into the scan kernel:
+    x_tm [T, B, F], w_ih [F, 4H], w_hh [H, 4H], bias [4H] -> [T, B, H].
+
+    HBM traffic is x (bf16) + h-sequence out — the 4x-larger gate
+    projections live only in VMEM. Backward rematerializes through the
+    lax.scan reference."""
+    interp = (not pallas_available()) if interpret is None else interpret
+    return _layer_forward(x_tm, w_ih, w_hh, bias, reverse, block_b, interp,
+                          out_dtype)
+
+
+def _layer_reference(x_tm, w_ih, w_hh, bias, reverse):
+    gates = jnp.einsum("tbf,fg->tbg", x_tm.astype(jnp.float32),
+                       w_ih.astype(jnp.float32)) + bias
+    return lstm_scan_reference_tm(gates, w_hh, reverse=reverse)
+
+
+def _layer_fwd(x_tm, w_ih, w_hh, bias, reverse, block_b, interpret,
+               out_dtype):
+    out = lstm_layer_tm(x_tm, w_ih, w_hh, bias, reverse, block_b, interpret,
+                        out_dtype)
+    return out, (x_tm, w_ih, w_hh, bias)
+
+
+def _layer_bwd(reverse, block_b, interpret, out_dtype, residuals, g):
+    x_tm, w_ih, w_hh, bias = residuals
+    _, vjp = jax.vjp(
+        lambda x, wi, wh, b: _layer_reference(x, wi, wh, b, reverse),
+        x_tm, w_ih, w_hh, bias)
+    dx, dwi, dwh, db = vjp(g.astype(jnp.float32))
+    return dx.astype(x_tm.dtype), dwi, dwh, db.reshape(bias.shape)
+
+
+lstm_layer_tm.defvjp(_layer_fwd, _layer_bwd)
