@@ -30,7 +30,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     raw = load_config_file(args.configuration)
-    line = raw.pop("line")  # enhance | restoration | nppc_inpainting | nppc_denoising
+    line = raw.pop("line")  # enhance | restoration | nppc_inpainting |
+    #   nppc_denoising | image_restoration | image_nppc
     checkpoint_dir = raw.pop("checkpoint_dir", "checkpoints")
     data_cfg = raw.pop("data")
     loader_cfg = raw.pop("dataloader", {})
@@ -107,6 +108,41 @@ def main(argv=None):
         trainer = T.NPPCDenoisingTrainer(cfg, checkpoint_dir=checkpoint_dir)
         trainer.train(loader, n_steps=args.steps, n_epochs=args.epochs,
                       log=log)
+
+    elif line == "image_restoration":
+        from generative_audio_tpu import train as T
+        from generative_audio_tpu.models import ImageRestorationConfig
+        cfg = build_dataclass(ImageRestorationConfig, raw.get("train"))
+        run = raw.get("run", {})
+        trainer = T.ImageRestorationTrainer(cfg,
+                                            checkpoint_dir=checkpoint_dir)
+        trainer.train(n_steps=args.steps or run.get("n_steps", 1000),
+                      batch_size=run.get("batch_size", 32),
+                      benchmark_every=run.get("benchmark_every"), log=log)
+
+    elif line == "image_nppc":
+        from generative_audio_tpu import train as T
+        from generative_audio_tpu.models import (
+            ImageRestorationConfig, ImageRestorationModel, ImageNPPCConfig)
+        from generative_audio_tpu.train import CheckpointManager
+        rest_cfg = build_dataclass(ImageRestorationConfig,
+                                   raw.get("restoration"))
+        rest_model = ImageRestorationModel(rest_cfg)
+        rest_vars = rest_model.init(__import__("jax").random.PRNGKey(0))
+        rest_ckpt = raw.get("restoration_checkpoint")
+        if rest_ckpt:
+            mgr = CheckpointManager(rest_ckpt)
+            restored = mgr.restore("latest", {"params": rest_vars["params"]},
+                                   partial=True)
+            if restored:
+                rest_vars = dict(rest_vars, params=restored["params"])
+        cfg = build_dataclass(ImageNPPCConfig, raw.get("train"))
+        run = raw.get("run", {})
+        trainer = T.ImageNPPCTrainer(cfg, rest_model, rest_vars,
+                                     checkpoint_dir=checkpoint_dir)
+        trainer.train(n_steps=args.steps or run.get("n_steps", 1000),
+                      batch_size=run.get("batch_size", 32),
+                      benchmark_every=run.get("benchmark_every"), log=log)
     else:
         raise ValueError(f"Unknown training line {line!r}")
 

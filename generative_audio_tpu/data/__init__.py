@@ -26,3 +26,4 @@ from generative_audio_tpu.data.image_data import (  # noqa: F401
     CelebAHQ256DataModule, CelebASRFlowDataModule, make_data_module,
 )
 from generative_audio_tpu.data import native  # noqa: F401
+from generative_audio_tpu.data.download import download_librispeech  # noqa: F401

@@ -67,10 +67,22 @@ class CheckpointManager:
             json.dumps({"score": float(score), "step": int(step)}))
 
     # ---------------------------------------------------------- restore ----
-    def restore(self, name: str, target_tree):
+    def restore(self, name: str, target_tree, partial: bool = False):
+        """Restore `name` into target_tree's structure. partial=True restores
+        only the keys present in target_tree (e.g. params without the saved
+        optimizer state — the artifact-consumer path)."""
         path = self.directory / name
         if not path.exists():
             return None
+        if partial:
+            import orbax.checkpoint as ocp
+            with ocp.PyTreeCheckpointer() as ckptr:
+                restored = ckptr.restore(path)
+            def merge(target, src):
+                if isinstance(target, dict):
+                    return {k: merge(v, src[k]) for k, v in target.items()}
+                return src
+            return merge(_to_saveable(target_tree), restored)
         return self._ckptr.restore(path, target=_to_saveable(target_tree))
 
     def latest_step(self) -> Optional[int]:

@@ -82,13 +82,40 @@ def init_enhance_state(config: EnhanceTrainConfig, rng: jax.Array,
 
 
 def make_enhance_train_step(config: EnhanceTrainConfig, subband_sharding=None,
-                            donate: bool = True):
-    """Returns jitted (state, noisy [B,L], clean [B,L]) -> (state, loss)."""
+                            donate: bool = True, accum_steps: int = 1):
+    """Returns jitted (state, noisy [B,L], clean [B,L]) -> (state, loss).
+
+    accum_steps > 1 splits the batch into microbatches and lax.scan-
+    accumulates gradients before ONE optimizer update — the reference's
+    chunked batches with deferred all-reduce (nppc/auxil.py:384-397,
+    nppc.py:434-441). Under pjit the psum happens once per update."""
 
     def train_step(state: TrainState, noisy, clean):
-        loss, grads = jax.value_and_grad(enhance_loss_fn)(
-            state.params, noisy, clean, config, subband_sharding)
-        return state.apply_gradients(grads), loss
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(enhance_loss_fn)(
+                state.params, noisy, clean, config, subband_sharding)
+            return state.apply_gradients(grads), loss
+
+        b = noisy.shape[0]
+        assert b % accum_steps == 0, (b, accum_steps)
+        micro = b // accum_steps
+        noisy_m = noisy.reshape(accum_steps, micro, *noisy.shape[1:])
+        clean_m = clean.reshape(accum_steps, micro, *clean.shape[1:])
+
+        def micro_step(carry, batch):
+            loss_sum, grads_sum = carry
+            n, c = batch
+            loss, grads = jax.value_and_grad(enhance_loss_fn)(
+                state.params, n, c, config, subband_sharding)
+            grads_sum = jax.tree_util.tree_map(jnp.add, grads_sum, grads)
+            return (loss_sum + loss, grads_sum), None
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (loss_sum, grads_sum), _ = jax.lax.scan(
+            micro_step, (jnp.zeros(()), zero_grads), (noisy_m, clean_m))
+        inv = 1.0 / accum_steps
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads_sum)
+        return state.apply_gradients(grads), loss_sum * inv
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 

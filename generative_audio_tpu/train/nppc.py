@@ -97,6 +97,44 @@ class NPPCInpaintingTrainer:
         return {k: ("frozen" if k == "pretrained_restoration_model"
                     else "train") for k in params}
 
+    @classmethod
+    def from_artifact(cls, config: "NPPCInpaintingTrainConfig",
+                      registry_root, artifact_ref: str =
+                      "restoration-model:latest", **kwargs):
+        """Build the trainer with frozen restoration weights fetched from a
+        named artifact — the reference's wandb-artifact checkpoint flow
+        (inpainting/nppc/nppc_model.py:52-98 _load_from_wandb), served by
+        the local ArtifactRegistry (utils.tracking)."""
+        from generative_audio_tpu.utils.tracking import ArtifactRegistry
+        from generative_audio_tpu.models.nppc_model import (
+            InpaintingRestorationModel)
+        art_dir = ArtifactRegistry(registry_root).get_artifact(artifact_ref)
+        # the artifact holds a CheckpointManager directory (possibly one
+        # level down when a whole checkpoint dir was logged as files)
+        if not (art_dir / "latest").exists():
+            candidates = [d for d in art_dir.iterdir()
+                          if (d / "latest").exists()]
+            if not candidates:
+                raise FileNotFoundError(
+                    f"artifact {artifact_ref} holds no 'latest' checkpoint")
+            art_dir = candidates[0]
+        rest = InpaintingRestorationModel(config.model.restoration)
+        dummy = jnp.zeros((1, 1, config.num_freqs, config.num_frames))
+        template = rest.init(jax.random.PRNGKey(0), dummy,
+                             jnp.ones_like(dummy), train=False)
+        ckpt = CheckpointManager(art_dir)
+        tree = {"params": template["params"],
+                "batch_stats": template.get("batch_stats")}
+        restored = ckpt.restore("latest", tree, partial=True)
+        if restored is None:
+            raise FileNotFoundError(
+                f"artifact {artifact_ref} holds no 'latest' checkpoint")
+        return cls(config,
+                   restoration_variables={
+                       "params": restored["params"],
+                       "batch_stats": restored["batch_stats"]},
+                   **kwargs)
+
     def _objective(self, params, batch_stats, rng, batch, step, train: bool):
         masked_spec, mask_frames, clean_spec = batch
         clean_norm_log, mask4, masked_norm_log = preprocess_data(

@@ -9,3 +9,4 @@ from generative_audio_tpu.utils.tracking import (  # noqa: F401
 from generative_audio_tpu.utils.report import (  # noqa: F401
     HTMLReport, imgs_to_grid, img_to_png_base64,
 )
+from generative_audio_tpu.utils import plot  # noqa: F401

@@ -83,7 +83,7 @@ class ExperimentTracker:
     """Append-only scalar stream + config/summary snapshot per run."""
 
     def __init__(self, root, run_name: Optional[str] = None,
-                 config: Optional[Any] = None):
+                 config: Optional[Any] = None, tensorboard: bool = False):
         self.root = Path(root)
         run_id = run_name or time.strftime("run_%Y%m%d_%H%M%S")
         # de-dupe run dirs
@@ -97,6 +97,12 @@ class ExperimentTracker:
         self._scalars = open(self.run_dir / "scalars.jsonl", "a")
         self._summary: Dict[str, Any] = {}
         self.artifacts = ArtifactRegistry(self.root)
+        self._tb = None
+        if tensorboard:
+            # reference: torch.utils.tensorboard SummaryWriter
+            # (base_trainer.py:95-100); tensorboardX here.
+            from tensorboardX import SummaryWriter
+            self._tb = SummaryWriter(str(self.run_dir / "tb"))
         if config is not None:
             import dataclasses
             if dataclasses.is_dataclass(config):
@@ -111,6 +117,10 @@ class ExperimentTracker:
         self._scalars.write(json.dumps(row, default=str) + "\n")
         self._scalars.flush()
         self._summary.update({k: row[k] for k in metrics})
+        if self._tb is not None:
+            for k, v in metrics.items():
+                if isinstance(row[k], float):
+                    self._tb.add_scalar(k, row[k], global_step=step)
 
     def log_artifact(self, name: str, files, metadata=None,
                      artifact_type: str = "model") -> str:
@@ -121,6 +131,8 @@ class ExperimentTracker:
         (self.run_dir / "summary.json").write_text(
             json.dumps(self._summary, indent=2, default=str))
         self._scalars.close()
+        if self._tb is not None:
+            self._tb.close()
 
     def read_scalars(self):
         path = self.run_dir / "scalars.jsonl"

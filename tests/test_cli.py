@@ -122,3 +122,23 @@ def test_config_system(tmp_path):
     p = tmp_path / "x.toml"
     p.write_text("[model]\nnum_freqs = 33\n")
     assert load_config_file(p)["model"]["num_freqs"] == 33
+
+
+def test_train_cli_image_restoration(tmp_path):
+    """image_restoration line end-to-end through the train CLI (tiny)."""
+    from generative_audio_tpu.cli import train as train_cli
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+line: image_restoration
+checkpoint_dir: {tmp_path / 'ckpt'}
+train:
+  dataset: mnist
+  distortion_type: denoising_1
+  net_type: unet
+data: {{}}
+run:
+  n_steps: 2
+  batch_size: 4
+""")
+    train_cli.main(["-C", str(cfg)])
+    assert (tmp_path / "ckpt" / "latest").exists()
