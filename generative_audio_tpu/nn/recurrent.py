@@ -130,10 +130,20 @@ class LSTMLayer(nn.Module):
 
 
 class GRULayer(nn.Module):
-    """Single (optionally bidirectional) GRU layer over [B, T, F] input."""
+    """Single (optionally bidirectional) GRU layer over [B, T, F] input.
+
+    use_pallas: like LSTMLayer — auto-selects the fused Pallas GRU scan
+    kernel on TPU (ops.pallas_lstm.gru_scan_tm)."""
     hidden_size: int
     bidirectional: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: Optional[bool] = None
+
+    def _want_pallas(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        from generative_audio_tpu.ops.pallas_lstm import pallas_available
+        return pallas_available()
 
     def _direction_params(self, input_size: int, suffix: str):
         h = self.hidden_size
@@ -147,6 +157,18 @@ class GRULayer(nn.Module):
     def _scan(self, x, w_ih, w_hh, b_ih, b_hh, reverse: bool):
         h = self.hidden_size
         cdt = self.compute_dtype
+
+        if self._want_pallas():
+            from generative_audio_tpu.ops.pallas_lstm import (
+                gru_scan_tm, pallas_available)
+            pdt = jnp.bfloat16 if pallas_available() else cdt
+            gates_tm = jnp.einsum(
+                "btf,fg->tbg", x.astype(pdt), w_ih.astype(pdt),
+                preferred_element_type=jnp.float32) + b_ih
+            ys_tm = gru_scan_tm(gates_tm.astype(pdt), w_hh, b_hh,
+                                reverse=reverse, out_dtype=cdt)
+            return jnp.swapaxes(ys_tm, 0, 1)
+
         gates_x = jnp.einsum(
             "btf,fg->btg", x.astype(cdt), w_ih.astype(cdt),
             preferred_element_type=jnp.float32) + b_ih

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["lstm_scan_tm", "lstm_scan_reference_tm", "lstm_layer_tm",
-           "pallas_available"]
+           "gru_scan_tm", "gru_scan_reference_tm", "pallas_available"]
 
 
 def pallas_available() -> bool:
@@ -318,3 +318,138 @@ def _layer_bwd(reverse, block_b, interpret, out_dtype, residuals, g):
 
 
 lstm_layer_tm.defvjp(_layer_fwd, _layer_bwd)
+
+
+# ---------------------------------------------------------------------------
+# GRU: same hoisted-gates + fused-scan design as the LSTM kernel.
+# Torch gate order (r, z, n); the h-side candidate gate is r * (h @ W_hn +
+# b_hn), so the h-side bias b_hh CANNOT be folded into the x-side gates —
+# it rides along as a kernel input.
+# ---------------------------------------------------------------------------
+def gru_scan_reference_tm(gates_x: jnp.ndarray, w_hh: jnp.ndarray,
+                          b_hh: jnp.ndarray, reverse: bool = False,
+                          compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """lax.scan GRU recurrence over hoisted time-major gates.
+    gates_x [T, B, 3H] (x @ W_ih + b_ih), w_hh [H, 3H], b_hh [3H] ->
+    [T, B, H] fp32."""
+    h_size = w_hh.shape[0]
+    b = gates_x.shape[1]
+    w_hh_c = w_hh.astype(compute_dtype)
+
+    def step(h_prev, gx):
+        gates_h = jnp.matmul(h_prev.astype(compute_dtype), w_hh_c,
+                             preferred_element_type=jnp.float32) + b_hh
+        xr, xz, xn = jnp.split(gx.astype(jnp.float32), 3, axis=-1)
+        hr, hz, hn = jnp.split(gates_h, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h_prev
+        return h_new, h_new
+
+    _, ys = jax.lax.scan(step, jnp.zeros((b, h_size), jnp.float32),
+                         gates_x, reverse=reverse)
+    return ys
+
+
+def _gru_kernel(gx_ref, whh_ref, bhh_ref, out_ref, h_scratch):
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[:] = jnp.zeros_like(h_scratch)
+
+    h_prev = h_scratch[:]
+    gates_h = jnp.dot(h_prev.astype(jnp.bfloat16), whh_ref[:],
+                      preferred_element_type=jnp.float32) + bhh_ref[:]
+    gx = gx_ref[0].astype(jnp.float32)
+    hsz = whh_ref.shape[0]
+    r = jax.nn.sigmoid(gx[:, :hsz] + gates_h[:, :hsz])
+    z = jax.nn.sigmoid(gx[:, hsz:2 * hsz] + gates_h[:, hsz:2 * hsz])
+    n = jnp.tanh(gx[:, 2 * hsz:] + r * gates_h[:, 2 * hsz:])
+    h_new = (1.0 - z) * n + z * h_prev
+    h_scratch[:] = h_new
+    out_ref[0] = h_new.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "interpret", "out_dtype", "reverse"))
+def _gru_pallas_call(gates_x_tm, w_hh, b_hh, block_b=256, interpret=False,
+                     out_dtype=jnp.bfloat16, reverse=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_len, b_pad, g3 = gates_x_tm.shape
+    hsz = g3 // 3
+    n_blocks = b_pad // block_b
+
+    if reverse:
+        def time_map(b, t, _t=t_len):
+            return (_t - 1 - t, b, 0)
+    else:
+        def time_map(b, t):
+            return (t, b, 0)
+
+    return pl.pallas_call(
+        _gru_kernel,
+        grid=(n_blocks, t_len),
+        in_specs=[
+            pl.BlockSpec((1, block_b, g3), time_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hsz, g3), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_b, hsz), time_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_len, b_pad, hsz), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_b, hsz), jnp.float32)],
+        interpret=interpret,
+    )(gates_x_tm, w_hh.astype(jnp.bfloat16),
+      b_hh.reshape(1, -1).astype(jnp.float32))
+
+
+def _gru_forward(gates_x, w_hh, b_hh, reverse, block_b, interpret, out_dtype):
+    t_len, b, g3 = gates_x.shape
+    block = min(block_b, _round_up(b, 8))
+    b_pad = _round_up(b, block)
+    gx = gates_x.astype(jnp.bfloat16)
+    if b_pad != b:
+        gx = jnp.pad(gx, ((0, 0), (0, b_pad - b), (0, 0)))
+    out = _gru_pallas_call(gx, w_hh, b_hh, block_b=block, interpret=interpret,
+                           out_dtype=out_dtype, reverse=reverse)
+    return out[:, :b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def gru_scan_tm(gates_x: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
+                reverse: bool = False, block_b: int = 256,
+                interpret: Optional[bool] = None,
+                out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Fused GRU recurrence, time-major: gates_x [T, B, 3H] (x-side gates
+    incl. b_ih), w_hh [H, 3H], b_hh [3H] -> [T, B, H]."""
+    interp = (not pallas_available()) if interpret is None else interpret
+    return _gru_forward(gates_x, w_hh, b_hh, reverse, block_b, interp,
+                        out_dtype)
+
+
+def _gru_fwd(gates_x, w_hh, b_hh, reverse, block_b, interpret, out_dtype):
+    out = gru_scan_tm(gates_x, w_hh, b_hh, reverse, block_b, interpret,
+                      out_dtype)
+    return out, (gates_x, w_hh, b_hh)
+
+
+def _gru_bwd(reverse, block_b, interpret, out_dtype, residuals, g):
+    gates_x, w_hh, b_hh = residuals
+    _, vjp = jax.vjp(
+        lambda gx, w, b: gru_scan_reference_tm(gx.astype(jnp.float32), w, b,
+                                               reverse=reverse),
+        gates_x, w_hh, b_hh)
+    dgx, dw, db = vjp(g.astype(jnp.float32))
+    return dgx.astype(gates_x.dtype), dw, db
+
+
+gru_scan_tm.defvjp(_gru_fwd, _gru_bwd)

@@ -88,3 +88,47 @@ class TestPallasLSTM:
                                  use_pallas=True)
         got = np.asarray(layer_pallas.apply(params, x))
         np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+class TestPallasGRU:
+    def test_forward_matches_reference(self):
+        from generative_audio_tpu.ops.pallas_lstm import (
+            gru_scan_tm, gru_scan_reference_tm)
+        t, b, h = 13, 12, 16
+        gx = _rand((t, b, 3 * h), seed=10)
+        whh = _rand((h, 3 * h), scale=0.2, seed=11)
+        bhh = _rand((3 * h,), scale=0.1, seed=12)
+        want = np.asarray(gru_scan_reference_tm(gx, whh, bhh))
+        got = np.asarray(gru_scan_tm(gx, whh, bhh, False, 256, True,
+                                     jnp.float32))
+        np.testing.assert_allclose(got, want, atol=5e-3)
+
+    def test_reverse_and_grads(self):
+        from generative_audio_tpu.ops.pallas_lstm import (
+            gru_scan_tm, gru_scan_reference_tm)
+        t, b, h = 7, 8, 8
+        gx = _rand((t, b, 3 * h), seed=13)
+        whh = _rand((h, 3 * h), scale=0.2, seed=14)
+        bhh = _rand((3 * h,), scale=0.1, seed=15)
+        want = np.asarray(gru_scan_reference_tm(gx, whh, bhh, reverse=True))
+        got = np.asarray(gru_scan_tm(gx, whh, bhh, True, 256, True,
+                                     jnp.float32))
+        np.testing.assert_allclose(got, want, atol=5e-3)
+        gp = jax.grad(lambda *a: jnp.sum(
+            gru_scan_tm(*a, False, 256, True, jnp.float32) ** 2),
+            argnums=(0, 1, 2))(gx, whh, bhh)
+        gr = jax.grad(lambda *a: jnp.sum(
+            gru_scan_reference_tm(*a) ** 2), argnums=(0, 1, 2))(gx, whh, bhh)
+        for a, b_ in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-2, rtol=1e-2)
+
+    def test_gru_layer_pallas_matches_scan_path(self):
+        from generative_audio_tpu.nn.recurrent import GRULayer
+        x = _rand((3, 10, 6), seed=16)
+        layer_scan = GRULayer(hidden_size=8, use_pallas=False)
+        params = layer_scan.init(jax.random.PRNGKey(2), x)
+        want = np.asarray(layer_scan.apply(params, x))
+        layer_pallas = GRULayer(hidden_size=8, use_pallas=True)
+        got = np.asarray(layer_pallas.apply(params, x))
+        np.testing.assert_allclose(got, want, atol=5e-3)
