@@ -60,13 +60,36 @@ def resample(data: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return resample_poly(data, target_sr // g, orig_sr // g).astype(np.float32)
 
 
+def _native_if_built():
+    """The C++ fast path (data.native), used only when its library is
+    already compiled — no surprise g++ runs inside data loading. Set
+    GAT_NATIVE_AUDIO=1 to force a build on first use."""
+    import os
+    from generative_audio_tpu.data import native as _native
+    if _native._lib is not None:
+        return _native
+    force = os.environ.get("GAT_NATIVE_AUDIO") == "1"
+    if force or _native._LIB.exists():
+        return _native if _native.available() else None
+    return None
+
+
 def load_audio(path, sr: Optional[int] = 16000) -> np.ndarray:
     """Load any supported file as mono float32 at the requested rate.
     Mirrors load_wav (feature.py:116-120) + the datasets' mono/resample steps.
-    """
+    Uses the native C++ decoder/resampler when its library is built."""
     path = Path(path)
     suffix = path.suffix.lower()
     if suffix == ".wav":
+        native = _native_if_built()
+        if native is not None:
+            try:
+                data, file_sr = native.decode_wav(path.read_bytes())
+                if sr is not None and file_sr != sr:
+                    data = native.resample(data, file_sr, sr)
+                return data
+            except ValueError:
+                pass  # fall through to the numpy reference decoder
         file_sr, data = read_wav(path)
     elif suffix == ".flac":
         data, file_sr = _load_flac(path)

@@ -139,3 +139,15 @@ class TestDecodeBatch:
                                             16000, 100)
         assert failures == 1
         np.testing.assert_array_equal(out, 0.0)
+
+
+class TestLoadAudioNativePath:
+    def test_load_audio_uses_native_when_built(self, tmp_path, monkeypatch):
+        from generative_audio_tpu.data.audio_io import load_audio
+        x = _sine(sr=8000, seconds=0.5)
+        p = tmp_path / "t.wav"
+        write_wav(p, x, 8000)
+        monkeypatch.setenv("GAT_NATIVE_AUDIO", "1")
+        y = load_audio(p, sr=16000)
+        assert abs(len(y) - 8000) <= 2
+        assert np.max(np.abs(y)) > 0.2
