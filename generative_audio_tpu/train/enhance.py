@@ -22,6 +22,8 @@ import jax.numpy as jnp
 
 from generative_audio_tpu.models.fullsubnet_plus import (
     FullSubNetPlus, FullSubNetPlusConfig)
+from generative_audio_tpu.models.fullsubnet import (
+    FullSubNet, FullSubNetConfig)
 from generative_audio_tpu.ops.stft import stft_ri, prepare_input_from_waveform
 from generative_audio_tpu.ops.mask import build_complex_ideal_ratio_mask_ri
 from generative_audio_tpu.ops.subband import drop_band
@@ -35,8 +37,13 @@ __all__ = ["EnhanceTrainConfig", "enhance_loss_fn", "make_enhance_train_step",
 
 @dataclasses.dataclass(frozen=True)
 class EnhanceTrainConfig:
+    # model_type "fullsubnet_plus" (mag+real+imag, trainer.py:316-353) or
+    # "fullsubnet" (the v1 mag-only trainer, fullsubnet/trainer/trainer.py:
+    # 14-146 — cRM-only loss, identical otherwise).
+    model_type: str = "fullsubnet_plus"
     model: FullSubNetPlusConfig = FullSubNetPlusConfig(
         num_groups_in_drop_band=2)
+    model_v1: FullSubNetConfig = FullSubNetConfig()
     n_fft: int = 512
     hop_length: int = 256
     win_length: int = 512
@@ -47,9 +54,19 @@ class EnhanceTrainConfig:
 
 
 def _model(config: EnhanceTrainConfig, subband_sharding=None):
+    if config.model_type == "fullsubnet":
+        return FullSubNet(config.model_v1,
+                          compute_dtype=jnp.dtype(config.compute_dtype),
+                          subband_sharding=subband_sharding)
     return FullSubNetPlus(config.model,
                           compute_dtype=jnp.dtype(config.compute_dtype),
                           subband_sharding=subband_sharding)
+
+
+def _num_groups(config: EnhanceTrainConfig) -> int:
+    return (config.model_v1.num_groups_in_drop_band
+            if config.model_type == "fullsubnet"
+            else config.model.num_groups_in_drop_band)
 
 
 def enhance_loss_fn(params, noisy: jnp.ndarray, clean: jnp.ndarray,
@@ -63,19 +80,26 @@ def enhance_loss_fn(params, noisy: jnp.ndarray, clean: jnp.ndarray,
 
     gt_cirm = build_complex_ideal_ratio_mask_ri(nr, ni, cr, ci)  # [B,F,T,2]
     gt_cirm = drop_band(jnp.transpose(gt_cirm, (0, 3, 1, 2)),
-                        config.model.num_groups_in_drop_band)    # [B,2,F',T]
+                        _num_groups(config))                     # [B,2,F',T]
 
     model = _model(config, subband_sharding)
-    crm = model.apply({"params": params}, noisy_mag[:, None], nr[:, None],
-                      ni[:, None])                               # [B,2,F',T]
+    if config.model_type == "fullsubnet":
+        crm = model.apply({"params": params}, noisy_mag[:, None])
+    else:
+        crm = model.apply({"params": params}, noisy_mag[:, None],
+                          nr[:, None], ni[:, None])              # [B,2,F',T]
     return cirm_mse_loss(crm, gt_cirm)
 
 
 def init_enhance_state(config: EnhanceTrainConfig, rng: jax.Array,
                        example_frames: int = 16) -> TrainState:
-    f = config.model.num_freqs
+    f = (config.model_v1.num_freqs if config.model_type == "fullsubnet"
+         else config.model.num_freqs)
     dummy = jnp.zeros((1, 1, f, example_frames), jnp.float32)
-    params = _model(config).init(rng, dummy, dummy, dummy)["params"]
+    if config.model_type == "fullsubnet":
+        params = _model(config).init(rng, dummy)["params"]
+    else:
+        params = _model(config).init(rng, dummy, dummy, dummy)["params"]
     tx = make_optimizer(config.learning_rate, config.betas,
                         clip_norm=config.clip_grad_norm)
     return create_train_state(params, tx)
@@ -161,8 +185,12 @@ class EnhanceTrainer:
         from generative_audio_tpu.eval.metrics import (
             composite_validation_score)
         model = _model(self.config)
+        if self.config.model_type == "fullsubnet":
+            apply_fn = lambda v, m, r, i: model.apply(v, m)  # noqa: E731
+        else:
+            apply_fn = lambda v, m, r, i: model.apply(v, m, r, i)  # noqa: E731
         validator = ModelValidator(
-            lambda v, m, r, i: model.apply(v, m, r, i),
+            apply_fn,
             {"params": self.state.params},
             n_fft=self.config.n_fft, hop_length=self.config.hop_length,
             win_length=self.config.win_length,

@@ -129,3 +129,19 @@ def test_nppc_denoising_trainer(rng):
     losses = trainer.train([(noisy, clean)] * 2, n_steps=3,
                            log=lambda *a: None)
     assert len(losses) == 3 and np.isfinite(losses).all()
+
+
+def test_enhance_trainer_fullsubnet_v1(rng):
+    """v1 (mag-only) training line (fullsubnet/trainer/trainer.py:14-146)."""
+    from generative_audio_tpu.models.fullsubnet import FullSubNetConfig
+    cfg = T.EnhanceTrainConfig(
+        model_type="fullsubnet",
+        model_v1=FullSubNetConfig(
+            num_freqs=16, sb_num_neighbors=2, fb_model_hidden_size=16,
+            sb_model_hidden_size=8, num_groups_in_drop_band=1),
+        n_fft=30, hop_length=16, win_length=30, compute_dtype="float32")
+    trainer = T.EnhanceTrainer(cfg)
+    clean = rng.standard_normal((2, 1024)).astype(np.float32)
+    noisy = clean + 0.3 * rng.standard_normal((2, 1024)).astype(np.float32)
+    avg = trainer.train_epoch([(noisy, clean)] * 2, log=lambda *a: None)
+    assert np.isfinite(avg)
