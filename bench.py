@@ -50,16 +50,19 @@ def main():
     out = np.asarray(enhance(params, wavs))  # compile + warm
     assert np.all(np.isfinite(out))
 
-    # Sustained throughput: async-dispatch a window of iterations, block
-    # once (per-iteration blocking measures tunnel round-trip latency, not
-    # the chip). The shared tunnel device is noisy run-to-run, so take the
-    # best of several windows = peak sustained throughput.
-    iters, windows = 10, 4
+    # Sustained throughput: async-dispatch a window of iterations, then
+    # fetch a small slice of the LAST output — executions are in-order, so
+    # this is a true device barrier (jax.block_until_ready is unreliable on
+    # the axon tunnel and adds per-array overhead). The shared tunnel chip
+    # is noisy run-to-run, so take the best of several windows.
+    iters, windows = 10, 6
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
-        outs = [enhance(params, wavs) for _ in range(iters)]
-        jax.block_until_ready(outs)
+        last = None
+        for _ in range(iters):
+            last = enhance(params, wavs)
+        np.asarray(last[0, :8])  # forced-value barrier
         best = min(best, time.perf_counter() - t0)
     elapsed = best
 
