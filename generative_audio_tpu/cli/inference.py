@@ -30,7 +30,6 @@ def load_model_params(checkpoint_path: str, model, config):
             sd, sequence_model=config.sequence_model,
             attention=config.channel_attention_model)
     from generative_audio_tpu.train import CheckpointManager
-    import numpy as np
     mgr = CheckpointManager(path)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):

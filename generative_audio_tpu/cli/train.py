@@ -76,7 +76,6 @@ def main(argv=None):
         restoration_vars = None
         if restoration_ckpt:
             from generative_audio_tpu.train import CheckpointManager
-            import jax.numpy as jnp
             mgr = CheckpointManager(restoration_ckpt)
             probe = T.RestorationTrainer(
                 T.RestorationTrainConfig(model=cfg.model.restoration,

@@ -14,7 +14,6 @@ production framework's host data path should be.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

@@ -193,6 +193,17 @@ class Inferencer:
                 lambda v, w: self.apply(v, w))
         model = self._compiled[key]
 
+        def spectral_chunk_fn(v, w):
+            # spectral-model fallback: run the default cRM pipeline per chunk
+            # (the reference's overlapped_chunk drives a waveform->waveform
+            # model; FullSubNet+ callers get this wrapper automatically)
+            real, imag = self._stft(w)
+            mag = jnp.sqrt(real ** 2 + imag ** 2)
+            crm = self.apply(v, mag[:, None], real[:, None], imag[:, None])
+            crm = decompress_cIRM(jnp.transpose(crm, (0, 2, 3, 1)))
+            er, ei = apply_crm(crm, real, imag)
+            return self._istft(er, ei, w.shape[-1])
+
         prev = None
         out = []
         for chunk_idx in range(num_chunks):
@@ -204,8 +215,16 @@ class Inferencer:
                 pad = np.zeros(256, np.float32)
             else:
                 pad = noisy[start - 256:start]
-            enhanced_chunk = np.asarray(
-                model(self.variables, np.concatenate([pad, seg])[None]))[0]
+            chunk_in = np.concatenate([pad, seg])[None]
+            try:
+                enhanced_chunk = np.asarray(
+                    model(self.variables, chunk_in))[0]
+            except TypeError:
+                # apply takes (mag, real, imag) — switch to the spectral
+                # per-chunk pipeline and keep it compiled for later chunks
+                model = self._compiled[key] = jax.jit(spectral_chunk_fn)
+                enhanced_chunk = np.asarray(
+                    model(self.variables, chunk_in))[0]
             enhanced_chunk = enhanced_chunk[256:]
             if chunk_idx == 0:
                 cur = enhanced_chunk[:hop]

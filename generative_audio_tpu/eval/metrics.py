@@ -17,7 +17,7 @@ This image carries none of those native wheels, so:
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Optional
 
 import numpy as np
 from scipy.signal import resample_poly

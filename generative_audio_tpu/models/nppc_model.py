@@ -15,7 +15,7 @@ train=False (frozen batch stats), matching the reference's .eval().
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ transplant from the torch reference via utils.torch_convert.convert_image_*.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

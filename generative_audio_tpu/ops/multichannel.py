@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from generative_audio_tpu.ops.conv_stft import conv_stft

@@ -24,7 +24,7 @@ from generative_audio_tpu.models.fullsubnet_plus import (
     FullSubNetPlus, FullSubNetPlusConfig)
 from generative_audio_tpu.models.fullsubnet import (
     FullSubNet, FullSubNetConfig)
-from generative_audio_tpu.ops.stft import stft_ri, prepare_input_from_waveform
+from generative_audio_tpu.ops.stft import stft_ri
 from generative_audio_tpu.ops.mask import build_complex_ideal_ratio_mask_ri
 from generative_audio_tpu.ops.subband import drop_band
 from generative_audio_tpu.losses import cirm_mse_loss

@@ -17,7 +17,7 @@ auxil.NetWrapper.update_best :399).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

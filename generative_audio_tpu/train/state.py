@@ -8,7 +8,7 @@ Reference training semantics being reproduced (SURVEY.md §2.9/§5.4):
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ with files + metadata, "name:latest" resolving to the highest version.
 from __future__ import annotations
 
 import json
-import os
 import shutil
 import time
 from pathlib import Path
