@@ -51,6 +51,11 @@ class EnhanceTrainConfig:
     betas: Tuple[float, float] = (0.9, 0.999)
     clip_grad_norm: float = 10.0
     compute_dtype: str = "bfloat16"
+    # loss_alpha > 0 adds the complex-spectrum reconstruction term:
+    # alpha*MSE(clean_spec, crm*noisy_spec) + (1-alpha)*MSE(gt_cIRM, cRM) —
+    # the Residual_Trainer objective (fullsubnet_plus/trainer/trainer.py:
+    # 162-228). 0 (default) is the pure-cIRM Trainer/Trainer_Finetune loss.
+    loss_alpha: float = 0.0
 
 
 def _model(config: EnhanceTrainConfig, subband_sharding=None):
@@ -88,7 +93,20 @@ def enhance_loss_fn(params, noisy: jnp.ndarray, clean: jnp.ndarray,
     else:
         crm = model.apply({"params": params}, noisy_mag[:, None],
                           nr[:, None], ni[:, None])              # [B,2,F',T]
-    return cirm_mse_loss(crm, gt_cirm)
+    loss = cirm_mse_loss(crm, gt_cirm)
+    if config.loss_alpha > 0:
+        from generative_audio_tpu.ops.mask import decompress_cIRM, apply_crm
+        # enhanced complex spectrum from the (non-dropped) mask; the spectral
+        # term is computed on the full band like the reference (its drop_band
+        # for this term is commented out, trainer.py:191-199)
+        crm_full = model.apply({"params": params}, noisy_mag[:, None],
+                               nr[:, None], ni[:, None])             if _num_groups(config) > 1 and crm.shape[2] != nr.shape[1]             else crm
+        dec = decompress_cIRM(jnp.transpose(crm_full, (0, 2, 3, 1)))
+        er, ei = apply_crm(dec, nr[:, :dec.shape[1]], ni[:, :dec.shape[1]])
+        spec_mse = (jnp.mean(jnp.square(er - cr[:, :er.shape[1]]))
+                    + jnp.mean(jnp.square(ei - ci[:, :ei.shape[1]]))) / 2
+        loss = config.loss_alpha * spec_mse + (1 - config.loss_alpha) * loss
+    return loss
 
 
 def init_enhance_state(config: EnhanceTrainConfig, rng: jax.Array,

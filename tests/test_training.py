@@ -145,3 +145,21 @@ def test_enhance_trainer_fullsubnet_v1(rng):
     noisy = clean + 0.3 * rng.standard_normal((2, 1024)).astype(np.float32)
     avg = trainer.train_epoch([(noisy, clean)] * 2, log=lambda *a: None)
     assert np.isfinite(avg)
+
+
+def test_enhance_residual_loss_alpha(rng):
+    """Residual_Trainer combined objective (trainer.py:162-228)."""
+    cfg0 = _enhance_cfg()
+    import dataclasses
+    cfg = dataclasses.replace(cfg0, loss_alpha=0.5)
+    state = T.init_enhance_state(cfg, jax.random.PRNGKey(0))
+    step = T.make_enhance_train_step(cfg, donate=False)
+    clean = rng.standard_normal((4, 1024)).astype(np.float32)
+    noisy = clean + 0.3 * rng.standard_normal((4, 1024)).astype(np.float32)
+    state, loss = step(state, noisy, clean)
+    assert np.isfinite(float(loss))
+    # differs from the pure-cIRM loss
+    step0 = T.make_enhance_train_step(cfg0, donate=False)
+    state0 = T.init_enhance_state(cfg0, jax.random.PRNGKey(0))
+    _, loss0 = step0(state0, noisy, clean)
+    assert abs(float(loss) - float(loss0)) > 1e-7
