@@ -55,7 +55,7 @@ def main():
     # this is a true device barrier (jax.block_until_ready is unreliable on
     # the axon tunnel and adds per-array overhead). The shared tunnel chip
     # is noisy run-to-run, so take the best of several windows.
-    iters, windows = 10, 6
+    iters, windows = 10, 8
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()

@@ -294,3 +294,40 @@ class TestImageTraining:
         score = ntrainer.benchmark(batch_size=4, max_samples=8)
         assert np.isfinite(score)
         assert ntrainer._maybe_update_best(score)
+
+
+class TestCelebAModules:
+    def _make_image_tree(self, root, splits=("train", "valid", "test"), n=3):
+        from PIL import Image
+        rng = np.random.default_rng(0)
+        for split in splits:
+            d = root / "CelebAMask-HQ-256" / split
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = (rng.uniform(size=(16, 16, 3)) * 255).astype("uint8")
+                Image.fromarray(arr).save(d / f"{i}.png")
+
+    def test_celeba_hq_module(self, tmp_path):
+        from generative_audio_tpu.data.image_data import CelebAHQ256DataModule
+        self._make_image_tree(tmp_path)
+        dm = CelebAHQ256DataModule(img_size=8, data_folder=tmp_path)
+        assert len(dm.train_set) == 3
+        img = dm.train_set[0]
+        assert img.shape == (3, 8, 8)
+        assert 0.0 <= img.min() and img.max() <= 1.0
+
+    def test_celeba_srflow_module(self, tmp_path):
+        from PIL import Image
+        from generative_audio_tpu.data.image_data import (
+            CelebASRFlowDataModule)
+        rng = np.random.default_rng(1)
+        for sub, size in (("GT", 16), ("x8", 2)):
+            d = tmp_path / "CelebA_SRFlow" / sub
+            d.mkdir(parents=True)
+            for i in range(4):
+                arr = (rng.uniform(size=(size, size, 3)) * 255).astype("uint8")
+                Image.fromarray(arr).save(d / f"{i}.png")
+        dm = CelebASRFlowDataModule(data_folder=tmp_path, scale=8, n_valid=1)
+        hr, lr = dm.train_set[0]
+        assert hr.shape == (3, 16, 16) and lr.shape == (3, 2, 2)
+        assert len(dm.valid_set) == 1
