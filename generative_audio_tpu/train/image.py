@@ -101,7 +101,28 @@ class _ImageTrainerBase:
                 self.ckpt.save_best({"params": self.best_params,
                                      "step": np.asarray(step)},
                                     self.best_score, step)
+            self.write_report(self.ckpt.directory / "report.html")
         return self.loss_history
+
+    def write_report(self, path):
+        """Self-contained HTML run report with loss curve + sample grids
+        (the reference's log_html, nppc/restoration.py:803-917)."""
+        from generative_audio_tpu.utils.report import HTMLReport
+        rep = HTMLReport(type(self).__name__)
+        if self.loss_history:
+            rep.add_curve("loss", {"train": self.loss_history})
+        metrics = {"steps": int(self.state.step)}
+        if self.best_score is not None:
+            metrics["best_benchmark"] = self.best_score
+        rep.add_scalars("summary", metrics)
+        try:
+            self._add_report_samples(rep)
+        except Exception as e:  # sample figures are best-effort
+            rep.add_scalars("samples", {"error": str(e)})
+        return rep.write(path)
+
+    def _add_report_samples(self, rep):
+        pass
 
 
 class ImageRestorationTrainer(_ImageTrainerBase):
@@ -166,6 +187,20 @@ class ImageRestorationTrainer(_ImageTrainerBase):
         params = (self.best_params if use_best and self.best_params is not None
                   else self.state.params)
         return self._restore(params, jnp.asarray(x_distorted))
+
+    def _add_report_samples(self, rep):
+        """original / distorted / restored grid rows (ref log_html fixed
+        batch panels)."""
+        dm = self.model.data_module
+        x = jnp.asarray(np.stack([np.asarray(dm.valid_set[i])
+                                  for i in range(min(8, len(dm.valid_set)))]))
+        x_d = self.model.distort(x, jax.random.PRNGKey(42))
+        x_r = self.restore(x_d, use_best=True)
+        rep.add_image_grid("original", np.asarray(x), nrow=8)
+        rep.add_image_grid("distorted", np.clip(np.asarray(x_d), 0, 1),
+                           nrow=8)
+        rep.add_image_grid("restored", np.clip(np.asarray(x_r), 0, 1),
+                           nrow=8)
 
 
 class ImageNPPCTrainer(_ImageTrainerBase):
@@ -246,3 +281,14 @@ class ImageNPPCTrainer(_ImageTrainerBase):
     def get_dirs(self, x_distorted, x_restored):
         return self._w_mat(self.state.params, jnp.asarray(x_distorted),
                            jnp.asarray(x_restored))
+
+    def _add_report_samples(self, rep):
+        """PC-direction grids for one validation sample (ref nppc.py
+        :604-745 per-dir panels)."""
+        dm = self.restoration_model.data_module
+        x = jnp.asarray(np.asarray(dm.valid_set[0])[None])
+        x_d, x_r = self._process_batch(jax.random.PRNGKey(42), x)
+        w = np.asarray(self._w_mat(self.state.params, x_d, x_r))[0]
+        norm = np.abs(w).max() + 1e-9
+        rep.add_image_grid("pc_directions (normalized)",
+                           0.5 + 0.5 * w / norm, nrow=w.shape[0])

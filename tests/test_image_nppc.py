@@ -331,3 +331,14 @@ class TestCelebAModules:
         hr, lr = dm.train_set[0]
         assert hr.shape == (3, 16, 16) and lr.shape == (3, 2, 2)
         assert len(dm.valid_set) == 1
+
+
+def test_image_trainer_report(tmp_path):
+    from generative_audio_tpu.train.image import ImageRestorationTrainer
+    model, cfg = _small_restoration()
+    trainer = ImageRestorationTrainer(cfg, model=model,
+                                      checkpoint_dir=tmp_path / "ck", seed=0)
+    trainer.train(n_steps=2, batch_size=4, benchmark_every=2,
+                  log=lambda *a: None)
+    report = (tmp_path / "ck" / "report.html").read_text()
+    assert report.count("data:image/png;base64,") >= 4  # curve + 3 grids
