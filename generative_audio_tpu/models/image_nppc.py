@@ -72,16 +72,15 @@ class ImagePCWrapper:
         self.pre_upscale = pre_upscale  # nearest-upsample when pre_net is None
 
     def init(self, key, x_distorted, x_restored):
-        keys = {}
         import jax
-        k1, k2 = jax.random.split(key)
-        variables = {"net": self.net.init(
-            k1, self._features(None, x_distorted, x_restored,
-                               init_pre=False)[0])}
+        k_net, k_pre = jax.random.split(key)
+        variables = {}
         if self.pre_net is not None:
-            variables["pre_net"] = self.pre_net.init(
-                k2, self._norm(x_distorted))
-        del keys
+            x_p, _ = pad_to_multiple(self._norm(x_distorted),
+                                     self.pre_pad_base_size)
+            variables["pre_net"] = self.pre_net.init(k_pre, x_p)
+        x, _ = self._features(variables, x_distorted, x_restored)
+        variables["net"] = self.net.init(k_net, x)
         return variables
 
     def _norm(self, x):
@@ -97,22 +96,15 @@ class ImagePCWrapper:
         x = jnp.repeat(x, self.pre_upscale, axis=-2)
         return jnp.repeat(x, self.pre_upscale, axis=-1)
 
-    def _features(self, variables, x_distorted, x_restored, init_pre=True):
+    def _features(self, variables, x_distorted, x_restored):
         x_distorted = self._norm(x_distorted)
         x_restored = self._norm(x_restored)
         if self.pre_net is None:
             x = self._upsample_nearest(x_distorted)
         else:
             x_p, pads = pad_to_multiple(x_distorted, self.pre_pad_base_size)
-            if variables is None and not init_pre:
-                # During net-init we need pre_net output channels; run with
-                # zeros of the right post-pre shape instead.
-                x = jnp.zeros(
-                    x_restored.shape[:1] + (self.pre_net.out_channels,)
-                    + x_restored.shape[2:], x_restored.dtype)
-            else:
-                x = self.pre_net.apply(variables["pre_net"], x_p)
-                x = unpad_from_multiple(x, pads)
+            x = self.pre_net.apply(variables["pre_net"], x_p)
+            x = unpad_from_multiple(x, pads)
         x = jnp.concatenate([x, x_restored], axis=1)
         return pad_to_multiple(x, self.pad_base_size)
 
