@@ -342,3 +342,47 @@ def test_image_trainer_report(tmp_path):
                   log=lambda *a: None)
     report = (tmp_path / "ck" / "report.html").read_text()
     assert report.count("data:image/png;base64,") >= 4  # curve + 3 grids
+
+
+class _Array3ChModule:
+    """Minimal 3-channel data module for distortion-combination tests."""
+    shape = (3, 16, 16)
+    mean = 0.5
+    std = 0.5
+
+    def __init__(self, n=8):
+        rng = np.random.default_rng(0)
+        arr = rng.uniform(size=(n, 3, 16, 16)).astype(np.float32)
+        self.train_set = self.valid_set = self.test_set = list(arr)
+
+
+@pytest.mark.parametrize("distortion,pre_net", [
+    ("colorization_1", "none"),
+    ("super_resolution_1", "none"),
+    ("super_resolution_1", "res_cnn"),
+])
+def test_nppc_distortion_combinations(distortion, pre_net):
+    """Channel/upscale plumbing through restoration + PC wrapper for the
+    non-trivial distortions (ref nppc.py:70-129 pre-net dispatch)."""
+    cfg = ImageRestorationConfig(dataset="mnist", distortion_type=distortion,
+                                 net_type="unet")
+    model = ImageRestorationModel(cfg, data_module=_Array3ChModule())
+    rvars = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.stack([model.data_module.valid_set[i]
+                              for i in range(2)]))
+    x_d = model.distort(x, jax.random.PRNGKey(1))
+    x_r = model.restore(rvars, x_d)
+    assert x_r.shape == (2, 3, 16, 16)
+
+    nppc = ImageNPPCModel(ImageNPPCConfig(n_dirs=2, pre_net_type=pre_net),
+                          model)
+    pvars = nppc.init(jax.random.PRNGKey(2))
+    w = np.asarray(nppc.get_dirs(pvars, x_d, x_r))
+    assert w.shape == (2, 2, 3, 16, 16)
+    assert np.all(np.isfinite(w))
+    # orthogonality survives the per-dir project_func
+    flat = w.reshape(2, 2, -1)
+    dots = np.abs(np.einsum("bi,bi->b", flat[:, 0], flat[:, 1]))
+    norms = (np.linalg.norm(flat[:, 0], axis=1)
+             * np.linalg.norm(flat[:, 1], axis=1) + 1e-9)
+    assert np.all(dots / norms < 1e-4)
