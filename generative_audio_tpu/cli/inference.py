@@ -31,11 +31,11 @@ def load_model_params(checkpoint_path: str, model, config):
             attention=config.channel_attention_model)
     from generative_audio_tpu.train import CheckpointManager
     mgr = CheckpointManager(path)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        dummy = jnp.zeros((1, 1, config.num_freqs, 16))
-        target = model.init(jax.random.PRNGKey(0), dummy, dummy,
-                            dummy)["params"]
+    # jitted init on the default device: eager init over the TPU tunnel is
+    # minutes-slow, and CPU-device init mis-lowers the Pallas LSTM kernels
+    dummy = jnp.zeros((1, 1, config.num_freqs, 16))
+    target = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy,
+                                 dummy)["params"]
     for name in ("best", "latest"):
         restored = mgr.restore(name, {"params": target})
         if restored is not None:

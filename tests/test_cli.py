@@ -142,3 +142,47 @@ run:
 """)
     train_cli.main(["-C", str(cfg)])
     assert (tmp_path / "ckpt" / "latest").exists()
+
+
+def test_validate_cli(tmp_path, corpus):
+    """validate CLI end-to-end: tiny model checkpoint + synthetic corpus ->
+    validation_results.json (use_pre_trained_model pipeline)."""
+    import json
+    import jax
+    import jax.numpy as jnp
+    from generative_audio_tpu.cli import validate as validate_cli
+    from generative_audio_tpu.models import (FullSubNetPlus,
+                                             FullSubNetPlusConfig)
+    from generative_audio_tpu.train import CheckpointManager
+
+    model_kw = dict(num_freqs=9, sb_num_neighbors=1, fb_model_hidden_size=8,
+                    sb_model_hidden_size=8, num_groups_in_drop_band=1)
+    model = FullSubNetPlus(FullSubNetPlusConfig(**model_kw))
+    dummy = jnp.zeros((1, 1, 9, 16))
+    params = model.init(jax.random.PRNGKey(0), dummy, dummy, dummy)["params"]
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save_latest({"params": params}, 0)
+
+    clean_dir, noise_dir = corpus
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+model:
+  num_freqs: 9
+  sb_num_neighbors: 1
+  fb_model_hidden_size: 8
+  sb_model_hidden_size: 8
+  num_groups_in_drop_band: 1
+data:
+  clean_path: {clean_dir}
+  noisy_path: {noise_dir}
+  sub_sample_length_seconds: 0.5
+stft:
+  nfft: 16
+  hop_length: 8
+  win_length: 16
+""")
+    out = tmp_path / "validation_results.json"
+    validate_cli.main(["-C", str(cfg), "-M", str(tmp_path / "ckpt"),
+                       "-O", str(out), "--max_items", "2"])
+    results = json.loads(out.read_text())
+    assert "SI_SDR" in results and np.isfinite(results["SI_SDR"])
