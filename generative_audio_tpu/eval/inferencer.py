@@ -251,18 +251,73 @@ class Inferencer:
                 f"Unknown inference type {self.config.inference_type!r}")
         return mode(noisy)
 
-    def enhance_dir(self, dataset, output_dir, log=print):
-        """Batch-enhance a dataset of (waveform, name); writes int16 wavs
-        peak-normalized to 0.8 like base_inferencer.py:145-159."""
+    def _write_enhanced(self, output_dir, name: str, enhanced: np.ndarray):
+        if np.ndim(enhanced) > 1:
+            enhanced = enhanced.reshape(-1)
+        amp = np.max(np.abs(enhanced))
+        if amp > 0:
+            enhanced = enhanced / amp * 0.8
+        write_wav(Path(output_dir) / f"{name}.wav", enhanced, self.config.sr)
+
+    def enhance_dir(self, dataset, output_dir, log=print,
+                    batch_size: int = 1):
+        """Enhance a dataset of (waveform, name); writes int16 wavs
+        peak-normalized to 0.8 like base_inferencer.py:145-159.
+
+        batch_size=1 matches the reference CLI; batch_size>1 is the TPU
+        serving mode: clips are grouped by padded bucket length and run
+        through ONE batched compiled program per bucket (default cRM mode
+        only)."""
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
+        if batch_size <= 1:
+            for i in range(len(dataset)):
+                noisy, name = dataset[i]
+                enhanced = self.enhance(noisy)
+                self._write_enhanced(output_dir, name, enhanced)
+                log(f"[{i + 1}/{len(dataset)}] {name} rtf={self.last_rtf}")
+            return
+
+        # ---- batched serving: group by bucket length ----
+        bucket = self.config.length_bucket
+        groups: Dict[int, list] = {}
         for i in range(len(dataset)):
             noisy, name = dataset[i]
-            enhanced = self.enhance(noisy)
-            if np.ndim(enhanced) > 1:
-                enhanced = enhanced.reshape(-1)
-            amp = np.max(np.abs(enhanced))
-            if amp > 0:
-                enhanced = enhanced / amp * 0.8
-            write_wav(output_dir / f"{name}.wav", enhanced, self.config.sr)
-            log(f"[{i + 1}/{len(dataset)}] {name} rtf={self.last_rtf}")
+            padded_len = ((len(noisy) + bucket - 1) // bucket) * bucket
+            groups.setdefault(padded_len, []).append((noisy, name))
+
+        def batched_fn(variables, wav):
+            real, imag = self._stft(wav)
+            mag = jnp.sqrt(real ** 2 + imag ** 2)
+            crm = self.apply(variables, mag[:, None], real[:, None],
+                             imag[:, None])
+            crm = decompress_cIRM(jnp.transpose(crm, (0, 2, 3, 1)))
+            er, ei = apply_crm(crm, real, imag)
+            return self._istft(er, ei, wav.shape[-1])
+
+        done = 0
+        for padded_len, items in sorted(groups.items()):
+            key = ("dir_batch", padded_len, min(batch_size, len(items)))
+            for start in range(0, len(items), batch_size):
+                chunk = items[start:start + batch_size]
+                wavs = np.zeros((len(chunk), padded_len), np.float32)
+                for j, (noisy, _) in enumerate(chunk):
+                    wavs[j, :len(noisy)] = noisy
+                # pad the batch dim so every bucket shares one program
+                if len(chunk) < batch_size:
+                    wavs = np.pad(wavs, ((0, batch_size - len(chunk)),
+                                         (0, 0)))
+                key = ("dir_batch", padded_len, batch_size)
+                if key not in self._compiled:
+                    self._compiled[key] = jax.jit(batched_fn)
+                t0 = time.perf_counter()
+                out = np.asarray(self._compiled[key](self.variables, wavs))
+                elapsed = time.perf_counter() - t0
+                for j, (noisy, name) in enumerate(chunk):
+                    self._write_enhanced(output_dir, name,
+                                         out[j, :len(noisy)])
+                done += len(chunk)
+                audio_s = sum(len(n) for n, _ in chunk) / self.config.sr
+                self.last_rtf = elapsed / max(audio_s, 1e-9)
+                log(f"[{done}/{len(dataset)}] batch of {len(chunk)} "
+                    f"rtf={self.last_rtf:.4f}")

@@ -145,3 +145,30 @@ def test_model_validator(tmp_path, rng):
     assert means["WB_PESQ"] is None          # gated without the C wheel
     assert means["SI_SDR"] is not None and means["STOI"] is not None
     assert (tmp_path / "res.json").exists()
+
+
+def test_enhance_dir_batched(tmp_path, rng):
+    """Batched serving mode groups clips by bucket, pads the batch dim, and
+    writes each clip at its original length."""
+    inf = Inferencer(_IdentityCRM(), variables={},
+                     config=InferencerConfig(length_bucket=1000))
+    rng = np.random.default_rng(0)
+    clips = [("a", rng.standard_normal(900).astype(np.float32) * 0.1),
+             ("b", rng.standard_normal(500).astype(np.float32) * 0.1),
+             ("c", rng.standard_normal(901).astype(np.float32) * 0.1)]
+
+    class DS:
+        def __len__(self):
+            return len(clips)
+
+        def __getitem__(self, i):
+            name, wav = clips[i]
+            return wav, name
+
+    inf.enhance_dir(DS(), tmp_path / "batched", batch_size=2,
+                    log=lambda *a: None)
+    from generative_audio_tpu.data.audio_io import read_wav
+    for name, wav in clips:
+        sr, out = read_wav(tmp_path / "batched" / f"{name}.wav")
+        assert len(out) == len(wav)
+        assert np.max(np.abs(out)) <= 0.81
