@@ -111,11 +111,14 @@ class InpaintingRestorationModel(nn.Module):
 
     @nn.compact
     def __call__(self, x_in: jnp.ndarray, mask: jnp.ndarray,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False, mc_dropout: bool = False) -> jnp.ndarray:
+        """mc_dropout=True enables ONLY dropout (BN stays on running stats) —
+        the reference's eval-time enable_dropout (utils.py:333-339)."""
         net = UNet(in_channels=self.config.in_channels,
                    out_channels=self.config.out_channels,
                    dropout=self.config.dropout, name="net")
-        return RestorationWrapper(net)(x_in, mask, train=train)
+        return RestorationWrapper(net)(x_in, mask, train=train,
+                                       mc_dropout=mc_dropout)
 
 
 @dataclasses.dataclass(frozen=True)

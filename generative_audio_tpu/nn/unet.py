@@ -12,9 +12,9 @@ Layout: public API keeps the reference's [B, C, F, T]; internally NHWC
 ([B, F, T, C]) — the native XLA TPU conv layout.
 
 MC-dropout: dropout layers are flax nn.Dropout driven by an rng — calling
-apply(..., train=True, rngs={'dropout': key}) with frozen params reproduces
-the reference's enable_dropout() eval-time stochastic passes
-(/root/reference/utils.py:333-339).
+apply(..., train=False, mc_dropout=True, rngs={'dropout': key}) reproduces
+the reference's enable_dropout() eval-time stochastic passes exactly
+(dropout active, BatchNorm on running averages; utils.py:333-339).
 """
 from __future__ import annotations
 
@@ -63,13 +63,18 @@ class UNetConfig:
 
 
 class DoubleConv(nn.Module):
-    """(conv3x3 -> BN -> LeakyReLU(0.2)) x2 [-> Dropout]. Ref tmp_utils.py:8-35."""
+    """(conv3x3 -> BN -> LeakyReLU(0.2)) x2 [-> Dropout]. Ref tmp_utils.py:8-35.
+
+    mc_dropout=True activates ONLY the dropout layers while BatchNorm stays
+    on its running averages — the reference's eval-time enable_dropout()
+    (/root/reference/utils.py:333-339), which flips Dropout modules to train
+    mode without touching BN."""
     out_ch: int
     leaky_relu: bool = True
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, mc_dropout: bool = False):
         act = ((lambda v: nn.leaky_relu(v, 0.2)) if self.leaky_relu
                else jax.nn.relu)
         for i in range(2):
@@ -78,7 +83,8 @@ class DoubleConv(nn.Module):
                              momentum=0.9, epsilon=1e-5, name=f"bn{i}")(x)
             x = act(x)
         if self.dropout:
-            x = nn.Dropout(self.dropout, deterministic=not train,
+            x = nn.Dropout(self.dropout,
+                           deterministic=not (train or mc_dropout),
                            name="dropout")(x)
         return x
 
@@ -89,10 +95,10 @@ class Down(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, mc_dropout: bool = False):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return DoubleConv(self.out_ch, dropout=self.dropout, name="conv")(
-            x, train=train)
+            x, train=train, mc_dropout=mc_dropout)
 
 
 class Up(nn.Module):
@@ -102,7 +108,7 @@ class Up(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x1, x2, train: bool = True):
+    def __call__(self, x1, x2, train: bool = True, mc_dropout: bool = False):
         x1 = resize_align_corners(x1, (x1.shape[1] * 2, x1.shape[2] * 2))
         diff_h = x2.shape[1] - x1.shape[1]
         diff_w = x2.shape[2] - x1.shape[2]
@@ -112,7 +118,7 @@ class Up(nn.Module):
                           (0, 0)))
         x = jnp.concatenate([x2, x1], axis=-1)
         return DoubleConv(self.out_ch, dropout=self.dropout, name="conv")(
-            x, train=train)
+            x, train=train, mc_dropout=mc_dropout)
 
 
 class UNet(nn.Module):
@@ -123,15 +129,21 @@ class UNet(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 mc_dropout: bool = False) -> jnp.ndarray:
+        md = mc_dropout
         x = jnp.transpose(x, (0, 2, 3, 1))          # NCHW -> NHWC
         x1 = DoubleConv(64, name="inc")(x, train=train)
         x2 = Down(128, name="down1")(x1, train=train)
         x3 = Down(256, name="down2")(x2, train=train)
-        x4 = Down(512, dropout=self.dropout, name="down3")(x3, train=train)
-        x5 = Down(512, dropout=self.dropout, name="down4")(x4, train=train)
-        y = Up(256, dropout=self.dropout, name="up1")(x5, x4, train=train)
-        y = Up(128, dropout=self.dropout, name="up2")(y, x3, train=train)
+        x4 = Down(512, dropout=self.dropout, name="down3")(
+            x3, train=train, mc_dropout=md)
+        x5 = Down(512, dropout=self.dropout, name="down4")(
+            x4, train=train, mc_dropout=md)
+        y = Up(256, dropout=self.dropout, name="up1")(
+            x5, x4, train=train, mc_dropout=md)
+        y = Up(128, dropout=self.dropout, name="up2")(
+            y, x3, train=train, mc_dropout=md)
         y = Up(64, name="up3")(y, x2, train=train)
         y = Up(64, name="up4")(y, x1, train=train)
         y = nn.Conv(self.out_channels, (1, 1), name="outc")(y)
@@ -205,8 +217,8 @@ class RestorationWrapper(nn.Module):
     net: nn.Module
 
     def __call__(self, x_in: jnp.ndarray, mask: jnp.ndarray,
-                 train: bool = True) -> jnp.ndarray:
-        x = self.net(x_in, train=train)
+                 train: bool = True, mc_dropout: bool = False) -> jnp.ndarray:
+        x = self.net(x_in, train=train, mc_dropout=mc_dropout)
         k = x.shape[1]
         mask_b = jnp.broadcast_to(mask, (mask.shape[0], k) + mask.shape[2:])
         if x_in.shape[1] > 1:

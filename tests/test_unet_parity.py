@@ -89,3 +89,25 @@ def test_unet2_shapes(rng):
     variables = jm.init(jax.random.PRNGKey(0), x, train=False)
     out = jm.apply(variables, x, train=False)
     assert out.shape == (1, 1, 128, 256)
+
+
+def test_mc_dropout_flag_isolates_dropout(rng):
+    """mc_dropout=True must stochasticize the output (dropout active) while
+    leaving BatchNorm on running averages (no mutable batch_stats needed) —
+    the reference's enable_dropout semantics (utils.py:333-339)."""
+    import jax
+    import jax.numpy as jnp
+    from generative_audio_tpu.nn.unet import UNet
+    net = UNet(in_channels=1, out_channels=1, dropout=0.5)
+    x = jnp.asarray(rng.standard_normal((1, 1, 32, 32)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    # eval: deterministic
+    a = net.apply(variables, x, train=False)
+    b = net.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # mc_dropout: stochastic across rngs, NO mutable collections required
+    c = net.apply(variables, x, train=False, mc_dropout=True,
+                  rngs={"dropout": jax.random.PRNGKey(1)})
+    d = net.apply(variables, x, train=False, mc_dropout=True,
+                  rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.abs(np.asarray(c) - np.asarray(d)).max() > 1e-6
