@@ -137,9 +137,24 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# per-block relative throughput, measured on-chip at the FullSubNet+
+# sub-band shape (T=627, H=384): bigger blocks amortize the per-step matmul
+# launch; tiny blocks underfill the MXU.
+_BLOCK_EFFICIENCY = {128: 0.80, 256: 1.0, 384: 1.069, 512: 1.08, 576: 1.096}
+
+
+def _pick_block(b: int, block_b: int) -> int:
+    """Batch block minimizing padded_rows / block_efficiency."""
+    candidates = [c for c in _BLOCK_EFFICIENCY
+                  if c <= max(block_b, 576)] or [block_b]
+    best = min(candidates,
+               key=lambda c: (_round_up(b, c) / _BLOCK_EFFICIENCY[c], -c))
+    return min(best, _round_up(b, 8))
+
+
 def _forward_pallas(gates_x, w_hh, reverse, block_b, interpret, out_dtype):
     t_len, b, g4 = gates_x.shape
-    block = min(block_b, _round_up(b, 8))
+    block = _pick_block(b, block_b)
     b_pad = _round_up(b, block)
     gx = gates_x.astype(jnp.bfloat16)
     if b_pad != b:
@@ -414,7 +429,7 @@ def _gru_pallas_call(gates_x_tm, w_hh, b_hh, block_b=256, interpret=False,
 
 def _gru_forward(gates_x, w_hh, b_hh, reverse, block_b, interpret, out_dtype):
     t_len, b, g3 = gates_x.shape
-    block = min(block_b, _round_up(b, 8))
+    block = _pick_block(b, block_b)
     b_pad = _round_up(b, block)
     gx = gates_x.astype(jnp.bfloat16)
     if b_pad != b:

@@ -132,3 +132,13 @@ class TestPallasGRU:
         layer_pallas = GRULayer(hidden_size=8, use_pallas=True)
         got = np.asarray(layer_pallas.apply(params, x))
         np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_pick_block_heuristic():
+    from generative_audio_tpu.ops.pallas_lstm import _pick_block, _round_up
+    # FullSubNet+ sub-band batch: same padding as 256 but a faster block
+    assert _pick_block(2056, 256) == 576
+    # never explodes padding to chase a big block
+    assert _round_up(600, _pick_block(600, 256)) <= 768
+    # tiny batches collapse to the 8-row tile
+    assert _pick_block(4, 256) == 8
