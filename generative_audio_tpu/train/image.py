@@ -128,6 +128,25 @@ class _ImageTrainerBase:
 class ImageRestorationTrainer(_ImageTrainerBase):
     """MSE/MAE restoration training (RestorationTrainer :387-917)."""
 
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir, **kwargs):
+        """Constructor round-trip: rebuild the model from the checkpoint's
+        saved config and restore the latest params — the reference's
+        RestorationModel.load (restoration.py:218-224, state_dict carries
+        input_args)."""
+        from generative_audio_tpu.utils.config import build_dataclass
+        mgr = CheckpointManager(checkpoint_dir)
+        config_dict = mgr.load_config()
+        if config_dict is None:
+            raise FileNotFoundError(f"no config.json in {checkpoint_dir}")
+        config = build_dataclass(ImageRestorationConfig, config_dict)
+        trainer = cls(config, checkpoint_dir=checkpoint_dir, **kwargs)
+        restored = mgr.restore("latest", {"params": trainer.state.params},
+                               partial=True)
+        if restored is not None:
+            trainer.state = trainer.state.replace(params=restored["params"])
+        return trainer
+
     def __init__(self, config: ImageRestorationConfig,
                  model: Optional[ImageRestorationModel] = None,
                  checkpoint_dir: Optional[str] = None, seed: int = 0):

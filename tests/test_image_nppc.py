@@ -386,3 +386,22 @@ def test_nppc_distortion_combinations(distortion, pre_net):
     norms = (np.linalg.norm(flat[:, 0], axis=1)
              * np.linalg.norm(flat[:, 1], axis=1) + 1e-9)
     assert np.all(dots / norms < 1e-4)
+
+
+def test_image_trainer_checkpoint_roundtrip(tmp_path):
+    """Constructor round-trip load (reference RestorationModel.load)."""
+    from generative_audio_tpu.train.image import ImageRestorationTrainer
+    cfg = ImageRestorationConfig(dataset="mnist",
+                                 distortion_type="denoising_1",
+                                 net_type="unet")
+    dm = MNISTDataModule(n_valid=8, n_synthetic=32)
+    model = ImageRestorationModel(cfg, data_module=dm)
+    t1 = ImageRestorationTrainer(cfg, model=model,
+                                 checkpoint_dir=tmp_path / "ck", seed=0)
+    t1.train(n_steps=2, batch_size=4)
+    t2 = ImageRestorationTrainer.from_checkpoint(tmp_path / "ck")
+    assert t2.config.distortion_type == "denoising_1"
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        t1.state.params, t2.state.params)
+    assert max(jax.tree_util.tree_leaves(diff)) == 0.0
