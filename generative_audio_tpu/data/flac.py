@@ -1,8 +1,11 @@
 """FLAC decode hook.
 
-LibriSpeech ships FLAC; this image has no soundfile/librosa wheels. A native
-decoder lives in native/ (built on demand); until it is built, decoding
-raises with a clear message so datasets can be pointed at WAV corpora.
+LibriSpeech ships FLAC; this image has no soundfile/librosa wheels. Decoding
+dispatches to the first-party native C++ decoder (native/audio_native.cpp,
+gat_decode_flac — STREAMINFO + constant/verbatim/fixed/LPC subframes, Rice
+residuals, stereo decorrelation), lazily built on first use via
+data.native.build(). soundfile is used instead when installed (see
+audio_io._load_flac, which tries it first).
 """
 from __future__ import annotations
 
@@ -11,25 +14,13 @@ from typing import Tuple
 
 import numpy as np
 
-_NATIVE = None
-
-
-def _native():
-    global _NATIVE
-    if _NATIVE is None:
-        try:
-            from generative_audio_tpu.data import _native_audio
-            _NATIVE = _native_audio
-        except Exception:
-            _NATIVE = False
-    return _NATIVE
-
 
 def decode(path) -> Tuple[np.ndarray, int]:
-    native = _native()
-    if native:
-        return native.decode_flac(str(path))
-    raise RuntimeError(
-        f"Cannot decode FLAC file {path}: no soundfile wheel and the native "
-        f"decoder is not built. Run `make -C native` or convert the corpus "
-        f"to WAV.")
+    """FLAC file -> (float32 mono samples, sample_rate)."""
+    from generative_audio_tpu.data import native
+    if not native.available():
+        raise RuntimeError(
+            f"Cannot decode FLAC file {path}: no soundfile wheel and the "
+            f"native decoder could not be built (needs g++). Convert the "
+            f"corpus to WAV or install soundfile.")
+    return native.decode_flac(Path(path).read_bytes())

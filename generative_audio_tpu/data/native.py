@@ -21,8 +21,8 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["available", "decode_wav", "resample", "snr_mix", "decode_batch",
-           "build", "NativeUnavailable"]
+__all__ = ["available", "decode_wav", "decode_flac", "resample", "snr_mix",
+           "decode_batch", "build", "NativeUnavailable"]
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 _SRC = _REPO_ROOT / "native" / "audio_native.cpp"
@@ -69,6 +69,8 @@ def _load():
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
         lib.gat_free.restype = None
         lib.gat_free.argtypes = [ctypes.c_void_p]
+        lib.gat_decode_flac.restype = ctypes.c_int
+        lib.gat_decode_flac.argtypes = lib.gat_decode_wav.argtypes
         lib.gat_resample.restype = ctypes.c_int64
         lib.gat_resample.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
@@ -102,14 +104,25 @@ def _take_floats(ptr, n: int) -> np.ndarray:
 
 def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
     """WAV bytes -> (float32 mono samples, sample_rate)."""
+    return _decode(data, "gat_decode_wav")
+
+
+def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
+    """FLAC bytes -> (float32 mono samples, sample_rate). Covers the
+    libFLAC-encoded corpora (LibriSpeech): 8-24 bit, 1-2 channels,
+    constant/verbatim/fixed/LPC subframes, Rice residuals."""
+    return _decode(data, "gat_decode_flac")
+
+
+def _decode(data: bytes, fn_name: str) -> Tuple[np.ndarray, int]:
     lib = _load()
     out = ctypes.POINTER(ctypes.c_float)()
     n = ctypes.c_int64()
     sr = ctypes.c_int32()
-    rc = lib.gat_decode_wav(data, len(data), ctypes.byref(out),
-                            ctypes.byref(n), ctypes.byref(sr))
+    rc = getattr(lib, fn_name)(data, len(data), ctypes.byref(out),
+                               ctypes.byref(n), ctypes.byref(sr))
     if rc != 0:
-        raise ValueError(f"gat_decode_wav failed with code {rc}")
+        raise ValueError(f"{fn_name} failed with code {rc}")
     return _take_floats(out, n.value), sr.value
 
 

@@ -281,3 +281,291 @@ int gat_decode_batch(const char* paths, int32_t n_files, int32_t target_sr,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FLAC decoder (subset sufficient for libFLAC-encoded corpora: 8/16/24-bit,
+// 1-2 channels, constant/verbatim/fixed/LPC subframes, Rice & Rice2
+// residuals, all stereo decorrelation modes). CRCs are not verified.
+// ---------------------------------------------------------------------------
+namespace flac {
+
+struct BitReader {
+    const uint8_t* buf;
+    int64_t len;
+    int64_t byte = 0;
+    int bit = 0;  // bits consumed in current byte (0..7)
+    bool error = false;
+
+    bool eof() const { return byte >= len; }
+
+    uint32_t read_bit() {
+        if (byte >= len) { error = true; return 0; }
+        uint32_t v = (buf[byte] >> (7 - bit)) & 1u;
+        if (++bit == 8) { bit = 0; byte++; }
+        return v;
+    }
+
+    uint64_t read_bits(int n) {
+        uint64_t v = 0;
+        for (int i = 0; i < n; i++) v = (v << 1) | read_bit();
+        return v;
+    }
+
+    int64_t read_signed(int n) {
+        if (n == 0) return 0;
+        uint64_t v = read_bits(n);
+        // sign extend
+        if (v & (1ull << (n - 1))) v |= ~((1ull << n) - 1);
+        return (int64_t)v;
+    }
+
+    uint32_t read_unary() {
+        uint32_t q = 0;
+        while (!error && read_bit() == 0) q++;
+        return q;
+    }
+
+    void align() { if (bit) { bit = 0; byte++; } }
+};
+
+static int64_t rice_decode(BitReader& br, int param) {
+    uint32_t q = br.read_unary();
+    uint64_t r = br.read_bits(param);
+    uint64_t u = ((uint64_t)q << param) | r;
+    // zigzag
+    return (u & 1) ? -((int64_t)(u >> 1)) - 1 : (int64_t)(u >> 1);
+}
+
+// UTF-8-style coded number in frame header (frame or sample index).
+static uint64_t read_utf8(BitReader& br) {
+    uint64_t b0 = br.read_bits(8);
+    int extra = 0;
+    uint64_t v;
+    if ((b0 & 0x80) == 0) return b0;
+    else if ((b0 & 0xE0) == 0xC0) { extra = 1; v = b0 & 0x1F; }
+    else if ((b0 & 0xF0) == 0xE0) { extra = 2; v = b0 & 0x0F; }
+    else if ((b0 & 0xF8) == 0xF0) { extra = 3; v = b0 & 0x07; }
+    else if ((b0 & 0xFC) == 0xF8) { extra = 4; v = b0 & 0x03; }
+    else if ((b0 & 0xFE) == 0xFC) { extra = 5; v = b0 & 0x01; }
+    else if (b0 == 0xFE) { extra = 6; v = 0; }
+    else { br.error = true; return 0; }
+    for (int i = 0; i < extra; i++) v = (v << 6) | (br.read_bits(8) & 0x3F);
+    return v;
+}
+
+static bool decode_residual(BitReader& br, int order, int block_size,
+                            std::vector<int64_t>& out) {
+    int method = (int)br.read_bits(2);
+    if (method > 1) return false;
+    int param_bits = method == 0 ? 4 : 5;
+    int escape = method == 0 ? 15 : 31;
+    int part_order = (int)br.read_bits(4);
+    int n_parts = 1 << part_order;
+    int part_samples = block_size >> part_order;
+    if (part_samples == 0 || part_samples * n_parts != block_size)
+        return false;
+    int idx = order;
+    for (int p = 0; p < n_parts; p++) {
+        int count = part_samples - (p == 0 ? order : 0);
+        if (count < 0) return false;
+        int param = (int)br.read_bits(param_bits);
+        if (param == escape) {
+            int raw_bits = (int)br.read_bits(5);
+            for (int i = 0; i < count; i++)
+                out[(size_t)idx++] = br.read_signed(raw_bits);
+        } else {
+            for (int i = 0; i < count; i++)
+                out[(size_t)idx++] = rice_decode(br, param);
+        }
+        if (br.error) return false;
+    }
+    return true;
+}
+
+static const int kFixedOrders[5][4] = {
+    {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
+
+static bool decode_subframe(BitReader& br, int block_size, int bps,
+                            std::vector<int64_t>& out) {
+    if (br.read_bit() != 0) return false;  // padding bit
+    int type = (int)br.read_bits(6);
+    int wasted = 0;
+    if (br.read_bit()) wasted = 1 + (int)br.read_unary();
+    bps -= wasted;
+    out.assign((size_t)block_size, 0);
+
+    if (type == 0) {                       // CONSTANT
+        int64_t v = br.read_signed(bps);
+        for (auto& o : out) o = v;
+    } else if (type == 1) {                // VERBATIM
+        for (auto& o : out) o = br.read_signed(bps);
+    } else if (type >= 8 && type <= 12) {  // FIXED order 0-4
+        int order = type - 8;
+        for (int i = 0; i < order; i++) out[(size_t)i] = br.read_signed(bps);
+        if (!decode_residual(br, order, block_size, out)) return false;
+        for (int i = order; i < block_size; i++) {
+            int64_t pred = 0;
+            for (int j = 0; j < order; j++)
+                pred += (int64_t)kFixedOrders[order][j] * out[(size_t)(i - 1 - j)];
+            out[(size_t)i] += pred;
+        }
+    } else if (type >= 32) {               // LPC, order = (type & 31) + 1
+        int order = (type & 31) + 1;
+        for (int i = 0; i < order; i++) out[(size_t)i] = br.read_signed(bps);
+        int precision = (int)br.read_bits(4) + 1;
+        if (precision == 16) return false;  // 0b1111 is invalid
+        int shift = (int)br.read_signed(5);
+        if (shift < 0) return false;
+        std::vector<int64_t> coef((size_t)order);
+        for (int i = 0; i < order; i++) coef[(size_t)i] = br.read_signed(precision);
+        if (!decode_residual(br, order, block_size, out)) return false;
+        for (int i = order; i < block_size; i++) {
+            int64_t pred = 0;
+            for (int j = 0; j < order; j++)
+                pred += coef[(size_t)j] * out[(size_t)(i - 1 - j)];
+            out[(size_t)i] += pred >> shift;
+        }
+    } else {
+        return false;
+    }
+    if (wasted)
+        for (auto& o : out) o <<= wasted;
+    return !br.error;
+}
+
+}  // namespace flac
+
+// Decode FLAC from memory -> malloc'd float32 mono. Returns 0 on success.
+extern "C" int gat_decode_flac(const uint8_t* buf, int64_t len,
+                               float** out_samples, int64_t* out_n,
+                               int32_t* out_sr) {
+    using namespace flac;
+    if (len < 8 || memcmp(buf, "fLaC", 4) != 0) return 1;
+    BitReader br{buf, len};
+    br.byte = 4;
+
+    uint32_t sample_rate = 0;
+    int channels = 0, bps = 0;
+    uint64_t total_samples = 0;
+    // metadata blocks
+    for (;;) {
+        uint32_t last = br.read_bit();
+        uint32_t type = (uint32_t)br.read_bits(7);
+        uint32_t blen = (uint32_t)br.read_bits(24);
+        if (br.error) return 2;
+        if (type == 0) {  // STREAMINFO
+            br.read_bits(16); br.read_bits(16);        // block sizes
+            br.read_bits(24); br.read_bits(24);        // frame sizes
+            sample_rate = (uint32_t)br.read_bits(20);
+            channels = (int)br.read_bits(3) + 1;
+            bps = (int)br.read_bits(5) + 1;
+            total_samples = br.read_bits(36);
+            for (int i = 0; i < 16; i++) br.read_bits(8);  // md5
+        } else {
+            for (uint32_t i = 0; i < blen; i++) br.read_bits(8);
+        }
+        if (last) break;
+    }
+    if (sample_rate == 0 || channels < 1 || channels > 8 || bps < 4)
+        return 3;
+
+    std::vector<float> pcm;
+    if (total_samples) pcm.reserve((size_t)total_samples);
+    std::vector<std::vector<int64_t>> ch((size_t)channels);
+    const double scale = 1.0 / (double)(1ll << (bps - 1));
+
+    while (!br.eof()) {
+        br.align();
+        if (br.byte >= len) break;
+        // frame sync 11111111 111110xx
+        uint64_t sync = br.read_bits(14);
+        if (br.error || br.eof()) break;
+        if (sync != 0x3FFE) return 4;
+        br.read_bit();                       // reserved
+        br.read_bit();                       // blocking strategy
+        int bs_code = (int)br.read_bits(4);
+        int sr_code = (int)br.read_bits(4);
+        int ch_code = (int)br.read_bits(4);
+        int ss_code = (int)br.read_bits(3);
+        br.read_bit();                       // reserved
+        read_utf8(br);                       // frame/sample number
+        int block_size;
+        switch (bs_code) {
+            case 1: block_size = 192; break;
+            case 2: case 3: case 4: case 5:
+                block_size = 576 << (bs_code - 2); break;
+            case 6: block_size = (int)br.read_bits(8) + 1; break;
+            case 7: block_size = (int)br.read_bits(16) + 1; break;
+            default:
+                if (bs_code >= 8) block_size = 256 << (bs_code - 8);
+                else return 5;
+        }
+        if (sr_code == 12) br.read_bits(8);
+        else if (sr_code == 13 || sr_code == 14) br.read_bits(16);
+        int frame_bps = bps;
+        switch (ss_code) {
+            case 0: break;
+            case 1: frame_bps = 8; break;
+            case 2: frame_bps = 12; break;
+            case 4: frame_bps = 16; break;
+            case 5: frame_bps = 20; break;
+            case 6: frame_bps = 24; break;
+            case 7: frame_bps = 32; break;
+            default: return 6;
+        }
+        br.read_bits(8);                     // CRC-8 (unverified)
+
+        int n_ch = channels;
+        int assign = 0;  // 0 independent, 1 L/S, 2 R/S, 3 M/S
+        if (ch_code <= 7) {
+            n_ch = ch_code + 1;
+        } else if (ch_code == 8) { n_ch = 2; assign = 1; }
+        else if (ch_code == 9) { n_ch = 2; assign = 2; }
+        else if (ch_code == 10) { n_ch = 2; assign = 3; }
+        else return 7;
+
+        for (int c = 0; c < n_ch; c++) {
+            int sub_bps = frame_bps;
+            // the side channel carries one extra bit
+            if ((assign == 1 && c == 1) || (assign == 2 && c == 0) ||
+                (assign == 3 && c == 1))
+                sub_bps += 1;
+            if (!decode_subframe(br, block_size, sub_bps, ch[(size_t)c]))
+                return 8;
+        }
+        br.align();
+        br.read_bits(16);                    // CRC-16 (unverified)
+        if (br.error) return 9;
+
+        // stereo decorrelation + mono mix
+        for (int i = 0; i < block_size; i++) {
+            double acc = 0.0;
+            if (assign == 0) {
+                for (int c = 0; c < n_ch; c++)
+                    acc += (double)ch[(size_t)c][(size_t)i];
+                acc /= n_ch;
+            } else if (assign == 1) {        // left/side
+                int64_t l = ch[0][(size_t)i], s = ch[1][(size_t)i];
+                acc = ((double)l + (double)(l - s)) / 2.0;
+            } else if (assign == 2) {        // right/side: L = S + R
+                int64_t s = ch[0][(size_t)i], r = ch[1][(size_t)i];
+                acc = ((double)(s + r) + (double)r) / 2.0;
+            } else {                         // mid/side
+                int64_t m = ch[0][(size_t)i], s = ch[1][(size_t)i];
+                int64_t mm = (m << 1) | (s & 1);
+                acc = ((double)((mm + s) >> 1) + (double)((mm - s) >> 1)) / 2.0;
+            }
+            pcm.push_back((float)(acc * scale));
+        }
+        if (total_samples && pcm.size() >= total_samples) break;
+    }
+    if (total_samples && pcm.size() > total_samples)
+        pcm.resize((size_t)total_samples);
+    float* o = (float*)malloc(sizeof(float) * pcm.size());
+    if (!o) return 10;
+    memcpy(o, pcm.data(), sizeof(float) * pcm.size());
+    *out_samples = o;
+    *out_n = (int64_t)pcm.size();
+    *out_sr = (int32_t)sample_rate;
+    return 0;
+}

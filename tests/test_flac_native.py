@@ -1,0 +1,236 @@
+"""Native FLAC decoder vs a minimal from-scratch FLAC encoder.
+
+The encoder writes spec-compliant streams exercising each subframe type
+(constant, verbatim, fixed-order, LPC) plus Rice residuals and mid/side
+stereo — the encoding features libFLAC uses for LibriSpeech.
+"""
+import numpy as np
+import pytest
+
+from generative_audio_tpu.data import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no native toolchain")
+
+
+class BitWriter:
+    def __init__(self):
+        self.bytes = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int):
+        for i in range(bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.bytes.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def write_signed(self, value: int, bits: int):
+        self.write(value & ((1 << bits) - 1), bits)
+
+    def write_unary(self, q: int):
+        for _ in range(q):
+            self.write(0, 1)
+        self.write(1, 1)
+
+    def align(self):
+        while self.nbits:
+            self.write(0, 1)
+
+
+def rice_write(bw: BitWriter, residuals, param: int):
+    bw.write(0, 2)       # method 0 (4-bit rice)
+    bw.write(0, 4)       # partition order 0
+    bw.write(param, 4)
+    for x in residuals:
+        u = 2 * x if x >= 0 else -2 * x - 1
+        bw.write_unary(u >> param)
+        bw.write(u & ((1 << param) - 1), param)
+
+
+def flac_stream(frames, sr=16000, channels=1, bps=16, total=0):
+    """frames: list of callables(bw, block_size) writing the subframes."""
+    out = bytearray(b"fLaC")
+    bw = BitWriter()
+    bw.write(1, 1)          # last metadata block
+    bw.write(0, 7)          # STREAMINFO
+    bw.write(34, 24)
+    bw.write(16, 16)        # min block size
+    bw.write(65535, 16)     # max block size
+    bw.write(0, 24)
+    bw.write(0, 24)
+    bw.write(sr, 20)
+    bw.write(channels - 1, 3)
+    bw.write(bps - 1, 5)
+    bw.write(total, 36)
+    for _ in range(16):
+        bw.write(0, 8)
+    out += bw.bytes
+
+    for idx, (block_size, ch_code, write_subframes) in enumerate(frames):
+        bw = BitWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1)       # reserved
+        bw.write(0, 1)       # fixed blocking
+        bw.write(6, 4)       # block size: 8-bit at end
+        bw.write(0, 4)       # sample rate: from streaminfo
+        bw.write(ch_code, 4)
+        bw.write(0, 3)       # sample size: from streaminfo
+        bw.write(0, 1)       # reserved
+        assert idx < 128
+        bw.write(idx, 8)     # UTF-8 frame number (single byte)
+        bw.write(block_size - 1, 8)
+        bw.write(0, 8)       # CRC-8 (decoder skips)
+        write_subframes(bw, block_size)
+        bw.align()
+        bw.write(0, 16)      # CRC-16 (decoder skips)
+        out += bw.bytes
+    return bytes(out)
+
+
+def _subframe_header(bw, type_bits):
+    bw.write(0, 1)
+    bw.write(type_bits, 6)
+    bw.write(0, 1)  # no wasted bits
+
+
+def test_verbatim_and_constant():
+    rng = np.random.default_rng(0)
+    samples = rng.integers(-2000, 2000, 32).astype(np.int64)
+
+    def frame0(bw, bs):
+        _subframe_header(bw, 1)             # verbatim
+        for s in samples:
+            bw.write_signed(int(s), 16)
+
+    def frame1(bw, bs):
+        _subframe_header(bw, 0)             # constant
+        bw.write_signed(777, 16)
+
+    data = flac_stream([(32, 0, frame0), (32, 0, frame1)], total=64)
+    pcm, sr = native.decode_flac(data)
+    assert sr == 16000 and len(pcm) == 64
+    np.testing.assert_allclose(pcm[:32], samples / 32768.0, atol=1e-6)
+    np.testing.assert_allclose(pcm[32:], 777 / 32768.0, atol=1e-6)
+
+
+def test_fixed_order2_rice():
+    # smooth signal so 2nd differences are small
+    n = 64
+    t = np.arange(n)
+    samples = np.round(1000 * np.sin(2 * np.pi * t / 32)).astype(np.int64)
+    # fixed order-2 residual: e_i = x_i - 2x_{i-1} + x_{i-2}
+    resid = [int(samples[i] - 2 * samples[i - 1] + samples[i - 2])
+             for i in range(2, n)]
+
+    def frame(bw, bs):
+        _subframe_header(bw, 8 + 2)          # fixed, order 2
+        bw.write_signed(int(samples[0]), 16)
+        bw.write_signed(int(samples[1]), 16)
+        rice_write(bw, resid, param=6)
+
+    pcm, sr = native.decode_flac(flac_stream([(n, 0, frame)], total=n))
+    np.testing.assert_allclose(pcm, samples / 32768.0, atol=1e-6)
+
+
+def test_lpc_order2_rice():
+    n = 64
+    rng = np.random.default_rng(1)
+    samples = np.cumsum(rng.integers(-50, 50, n)).astype(np.int64)
+    # LPC: coef = [3, -1], shift = 1 -> pred_i = (3x_{i-1} - x_{i-2}) >> 1
+    coef, shift, precision = [3, -1], 1, 6
+    resid = []
+    for i in range(2, n):
+        pred = (coef[0] * samples[i - 1] + coef[1] * samples[i - 2]) >> shift
+        resid.append(int(samples[i] - pred))
+
+    def frame(bw, bs):
+        _subframe_header(bw, 32 + (2 - 1))    # LPC, order 2
+        bw.write_signed(int(samples[0]), 16)
+        bw.write_signed(int(samples[1]), 16)
+        bw.write(precision - 1, 4)
+        bw.write_signed(shift, 5)
+        for c in coef:
+            bw.write_signed(c, precision)
+        rice_write(bw, resid, param=7)
+
+    pcm, sr = native.decode_flac(flac_stream([(n, 0, frame)], total=n))
+    np.testing.assert_allclose(pcm, samples / 32768.0, atol=1e-6)
+
+
+def test_mid_side_stereo():
+    n = 32
+    rng = np.random.default_rng(2)
+    left = rng.integers(-5000, 5000, n).astype(np.int64)
+    right = rng.integers(-5000, 5000, n).astype(np.int64)
+    mid = (left + right) >> 1
+    side = left - right
+
+    def frame(bw, bs):
+        _subframe_header(bw, 1)               # mid, verbatim, 16 bits
+        for s in mid:
+            bw.write_signed(int(s), 16)
+        _subframe_header(bw, 1)               # side, verbatim, 17 bits
+        for s in side:
+            bw.write_signed(int(s), 17)
+
+    data = flac_stream([(n, 10, frame)], channels=2, total=n)
+    pcm, sr = native.decode_flac(data)
+    want = (left + right) / 2.0 / 32768.0
+    np.testing.assert_allclose(pcm, want, atol=1e-6)
+
+
+def test_left_side_and_right_side():
+    n = 16
+    rng = np.random.default_rng(3)
+    left = rng.integers(-3000, 3000, n).astype(np.int64)
+    right = rng.integers(-3000, 3000, n).astype(np.int64)
+    side = left - right
+
+    def ls_frame(bw, bs):
+        _subframe_header(bw, 1)
+        for s in left:
+            bw.write_signed(int(s), 16)
+        _subframe_header(bw, 1)
+        for s in side:
+            bw.write_signed(int(s), 17)
+
+    def rs_frame(bw, bs):
+        _subframe_header(bw, 1)
+        for s in side:
+            bw.write_signed(int(s), 17)
+        _subframe_header(bw, 1)
+        for s in right:
+            bw.write_signed(int(s), 16)
+
+    want = (left + right) / 2.0 / 32768.0
+    pcm, _ = native.decode_flac(
+        flac_stream([(n, 8, ls_frame)], channels=2, total=n))
+    np.testing.assert_allclose(pcm, want, atol=1e-6)
+    pcm, _ = native.decode_flac(
+        flac_stream([(n, 9, rs_frame)], channels=2, total=n))
+    np.testing.assert_allclose(pcm, want, atol=1e-6)
+
+
+def test_load_audio_flac_path(tmp_path):
+    samples = np.round(3000 * np.sin(2 * np.pi * np.arange(48) / 24)) \
+        .astype(np.int64)
+
+    def frame(bw, bs):
+        _subframe_header(bw, 1)
+        for s in samples:
+            bw.write_signed(int(s), 16)
+
+    p = tmp_path / "x.flac"
+    p.write_bytes(flac_stream([(48, 0, frame)], total=48))
+    from generative_audio_tpu.data.audio_io import load_audio
+    out = load_audio(p, sr=16000)
+    np.testing.assert_allclose(out, samples / 32768.0, atol=1e-6)
+
+
+def test_garbage_rejected():
+    with pytest.raises(ValueError):
+        native.decode_flac(b"not a flac stream")
