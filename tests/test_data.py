@@ -161,3 +161,47 @@ def test_sample_generator(tmp_path, corpus):
     gen.generate(2)
     assert len(list((tmp_path / "out" / "noisy").glob("*.wav"))) == 2
     assert len(list((tmp_path / "out" / "clean").glob("*.wav"))) == 2
+
+
+def test_inpainting_dataset_over_flac_corpus(tmp_path):
+    """LibriSpeech-style FLAC corpus through the native decoder (the real
+    consumer of data/flac.py)."""
+    from generative_audio_tpu.data import native
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    from tests.flac_writer import flac_stream, _subframe_header
+    from generative_audio_tpu.data.inpainting_dataset import (
+        AudioInpaintingDataset, AudioInpaintingConfig)
+
+    sr, seconds = 16000, 1.0
+    spk = tmp_path / "19" / "198"
+    spk.mkdir(parents=True)
+    for i in range(2):
+        t = np.arange(int(sr * seconds))
+        wav = np.round(8000 * np.sin(2 * np.pi * (200 + 50 * i) * t / sr)) \
+            .astype(np.int64)
+        frames = []
+        for start in range(0, len(wav), 4096):
+            chunk = wav[start:start + 4096]
+
+            def make(chunk=chunk):
+                def write(bw, bs):
+                    _subframe_header(bw, 1)
+                    for s in chunk:
+                        bw.write_signed(int(s), 16)
+                return write
+            frames.append((len(chunk), 0, make()))
+        (spk / f"19-198-{i:04d}.flac").write_bytes(
+            flac_stream(frames, sr=sr, total=len(wav)))
+    (spk / "19-198.trans.txt").write_text(
+        "19-198-0000 HELLO WORLD\n19-198-0001 SECOND UTTERANCE\n")
+
+    cfg = AudioInpaintingConfig(
+        clean_path=str(tmp_path), sub_sample_length_seconds=0.5,
+        missing_length_seconds=0.064, seed=0)
+    ds = AudioInpaintingDataset(cfg)
+    assert len(ds) == 2
+    sample = ds[0]
+    assert sample.transcription in ("HELLO WORLD", "SECOND UTTERANCE")
+    assert np.isfinite(np.asarray(sample.stft_masked)).all()
