@@ -183,21 +183,28 @@ class AudioInpaintingDataset:
 
     def __getitem__(self, idx: int) -> AudioInpaintingSample:
         c = self.config
-        # Per-index seeding for reproducible eval batches (ref :255-264).
-        rng = (np.random.default_rng(c.seed + idx) if c.seed is not None
-               else self._rng)
-
-        clean_file = self.clean_files[idx]
-        try:
-            full_audio = load_audio(clean_file, c.sample_rate)
-        except Exception as e:  # noqa: BLE001
-            print(f"Error loading {clean_file}: {e}")
-            return self[(idx + 1) % len(self)]
-
+        # Skip unreadable/too-short files by advancing the index — bounded
+        # to one full pass so a fully-broken corpus raises instead of
+        # recursing forever.
+        for attempt in range(len(self)):
+            probe = (idx + attempt) % len(self)
+            # Per-index seeding for reproducible eval batches (ref :255-264).
+            rng = (np.random.default_rng(c.seed + probe) if c.seed is not None
+                   else self._rng)
+            clean_file = self.clean_files[probe]
+            try:
+                full_audio = load_audio(clean_file, c.sample_rate)
+            except Exception as e:  # noqa: BLE001
+                print(f"Error loading {clean_file}: {e}")
+                continue
+            full_audio = self._normalize(full_audio, rng)
+            if len(full_audio) >= c.sub_sample_length:
+                break
+        else:
+            raise RuntimeError(
+                f"No usable audio >= {c.sub_sample_length_seconds}s among "
+                f"{len(self)} files under {c.clean_path}")
         transcription = self.transcriptions.get(clean_file.stem, "")
-        full_audio = self._normalize(full_audio, rng)
-        if len(full_audio) < c.sub_sample_length:
-            return self[(idx + 1) % len(self)]
 
         subsample_start = 0
         if len(full_audio) > c.sub_sample_length:

@@ -205,3 +205,16 @@ def test_inpainting_dataset_over_flac_corpus(tmp_path):
     sample = ds[0]
     assert sample.transcription in ("HELLO WORLD", "SECOND UTTERANCE")
     assert np.isfinite(np.asarray(sample.stft_masked)).all()
+
+
+def test_inpainting_dataset_broken_corpus_raises(tmp_path):
+    """A corpus with no decodable/long-enough files must raise instead of
+    recursing (the skip-forward retry is bounded to one pass)."""
+    from generative_audio_tpu.data.inpainting_dataset import (
+        AudioInpaintingDataset, AudioInpaintingConfig)
+    (tmp_path / "a.flac").write_bytes(b"garbage")
+    (tmp_path / "b.flac").write_bytes(b"also garbage")
+    ds = AudioInpaintingDataset(AudioInpaintingConfig(
+        clean_path=str(tmp_path), sub_sample_length_seconds=0.5))
+    with pytest.raises(RuntimeError, match="No usable audio"):
+        ds[0]
