@@ -96,9 +96,17 @@ class AudioDataset:
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         clean = self._load(self.clean_files[idx])
-        while clean is None:
-            idx = int(self._rng.integers(0, len(self.clean_files)))
+        # bounded skip-forward: a fully unreadable corpus raises instead of
+        # spinning forever
+        for attempt in range(len(self.clean_files)):
+            if clean is not None:
+                break
+            idx = (idx + 1) % len(self.clean_files)
             clean = self._load(self.clean_files[idx])
+        if clean is None:
+            raise RuntimeError(
+                f"No readable clean audio among {len(self.clean_files)} "
+                f"files under {self.config.clean_path}")
 
         L = self.config.sub_sample_length
         if len(clean) > L:

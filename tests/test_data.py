@@ -218,3 +218,18 @@ def test_inpainting_dataset_broken_corpus_raises(tmp_path):
         clean_path=str(tmp_path), sub_sample_length_seconds=0.5))
     with pytest.raises(RuntimeError, match="No usable audio"):
         ds[0]
+
+
+def test_audio_dataset_broken_corpus_raises(tmp_path):
+    from generative_audio_tpu.data.audio_dataset import (
+        AudioDataset, AudioDataSetConfig)
+    from generative_audio_tpu.data.audio_io import write_wav
+    clean, noise = tmp_path / "clean", tmp_path / "noise"
+    clean.mkdir(), noise.mkdir()
+    (clean / "bad.wav").write_bytes(b"garbage wav")
+    write_wav(noise / "n.wav", np.zeros(16000, np.float32) + 0.01, 16000)
+    ds = AudioDataset(AudioDataSetConfig(
+        clean_path=str(clean), noisy_path=str(noise),
+        sub_sample_length_seconds=0.5))
+    with pytest.raises(RuntimeError, match="No readable clean audio"):
+        ds[0]
