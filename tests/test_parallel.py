@@ -106,3 +106,35 @@ class TestShardedTraining:
         # sharded reductions reorder float sums; Adam amplifies the tiny
         # gradient deltas near sqrt(v)+eps -> sub-1e-3 per step is expected
         assert max(jax.tree_util.tree_leaves(diff)) < 1e-3
+
+
+class TestDryrunMultichip:
+    """The driver invokes __graft_entry__.dryrun_multichip(8) bare (no env
+    help); it must self-bootstrap a virtual CPU mesh. MULTICHIP_r01 failed
+    exactly here."""
+
+    def test_env_detection(self, monkeypatch):
+        import __graft_entry__ as ge
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        monkeypatch.setenv(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        assert ge._multichip_env_ok(8)
+        assert not ge._multichip_env_ok(16)
+        monkeypatch.setenv("JAX_PLATFORMS", "")
+        assert not ge._multichip_env_ok(8)
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        monkeypatch.setenv("XLA_FLAGS", "")
+        assert not ge._multichip_env_ok(8)
+
+    def test_dryrun_inline(self):
+        """Under the test env the dryrun runs in-process and must pass."""
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)
+
+    def test_dryrun_bootstraps_without_env(self, monkeypatch):
+        """With a hostile env (as the driver provides) the dryrun must
+        re-exec itself in a correctly-configured child and succeed."""
+        import __graft_entry__ as ge
+        monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+        monkeypatch.delenv("XLA_FLAGS", raising=False)
+        ge.dryrun_multichip(8)
