@@ -127,7 +127,10 @@ def main(argv=None):
         rest_cfg = build_dataclass(ImageRestorationConfig,
                                    raw.get("restoration"))
         rest_model = ImageRestorationModel(rest_cfg)
-        rest_vars = rest_model.init(__import__("jax").random.PRNGKey(0))
+        # jitted init: eager init over the TPU tunnel is minutes-slow (same
+        # reason bench.py / cli.inference jit their inits)
+        jax = __import__("jax")
+        rest_vars = jax.jit(rest_model.init)(jax.random.PRNGKey(0))
         rest_ckpt = raw.get("restoration_checkpoint")
         if rest_ckpt:
             mgr = CheckpointManager(rest_ckpt)

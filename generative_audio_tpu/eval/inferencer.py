@@ -43,6 +43,12 @@ class InferencerConfig:
     length_bucket: int = 16000        # pad clips up to multiples of this
     chunk_length_seconds: int = 4     # for overlapped_chunk
     n_neighbor: int = 15              # for sub_band_crm_mask
+    # overlapped_chunk per-chunk model kind: "waveform" (wav -> wav apply),
+    # "spectral" (FullSubNet-style (mag, real, imag) -> cRM apply, wrapped
+    # into the default cRM pipeline per chunk), or "auto" (decide from the
+    # apply-fn's signature arity; ambiguous *args signatures -> spectral,
+    # the mainline FullSubNet+ case).
+    chunk_model: str = "auto"
 
 
 class Inferencer:
@@ -65,6 +71,29 @@ class Inferencer:
         c = self.config
         return istft_ri(real, imag, c.n_fft, c.hop_length, c.win_length,
                         length=length)
+
+    def _chunk_model_is_waveform(self) -> bool:
+        """Resolve the overlapped_chunk model kind (config.chunk_model)."""
+        mode = self.config.chunk_model
+        if mode == "waveform":
+            return True
+        if mode == "spectral":
+            return False
+        if mode != "auto":
+            raise ValueError(f"chunk_model must be waveform/spectral/auto, "
+                             f"got {mode!r}")
+        import inspect
+        try:
+            params = list(inspect.signature(self.apply).parameters.values())
+        except (TypeError, ValueError):
+            return False        # undecidable -> mainline spectral model
+        n_positional = 0
+        for p in params:
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+                n_positional += 1
+            elif p.kind is p.VAR_POSITIONAL:
+                return False    # flax's apply(variables, *args) -> spectral
+        return n_positional <= 2   # (variables, wav) -> waveform model
 
     def _pad_bucket(self, noisy: np.ndarray):
         bucket = self.config.length_bucket
@@ -187,14 +216,8 @@ class Inferencer:
         num_chunks = int(len(noisy) / hop) + 1
         win = np.asarray(hann_window(chunk_length))
 
-        key = ("chunk", chunk_length + 256)
-        if key not in self._compiled:
-            self._compiled[key] = jax.jit(
-                lambda v, w: self.apply(v, w))
-        model = self._compiled[key]
-
         def spectral_chunk_fn(v, w):
-            # spectral-model fallback: run the default cRM pipeline per chunk
+            # spectral-model wrapper: run the default cRM pipeline per chunk
             # (the reference's overlapped_chunk drives a waveform->waveform
             # model; FullSubNet+ callers get this wrapper automatically)
             real, imag = self._stft(w)
@@ -203,6 +226,19 @@ class Inferencer:
             crm = decompress_cIRM(jnp.transpose(crm, (0, 2, 3, 1)))
             er, ei = apply_crm(crm, real, imag)
             return self._istft(er, ei, w.shape[-1])
+
+        # Decide the per-chunk model kind explicitly (config flag or
+        # signature arity) — NOT by catching TypeError from the compiled
+        # apply, which would silently mask a genuine TypeError bug inside a
+        # user's waveform model and proceed in the wrong mode.
+        kind = ("chunk_wav" if self._chunk_model_is_waveform()
+                else "chunk_spec")
+        key = (kind, chunk_length + 256)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                (lambda v, w: self.apply(v, w)) if kind == "chunk_wav"
+                else spectral_chunk_fn)
+        model = self._compiled[key]
 
         prev = None
         out = []
@@ -216,15 +252,7 @@ class Inferencer:
             else:
                 pad = noisy[start - 256:start]
             chunk_in = np.concatenate([pad, seg])[None]
-            try:
-                enhanced_chunk = np.asarray(
-                    model(self.variables, chunk_in))[0]
-            except TypeError:
-                # apply takes (mag, real, imag) — switch to the spectral
-                # per-chunk pipeline and keep it compiled for later chunks
-                model = self._compiled[key] = jax.jit(spectral_chunk_fn)
-                enhanced_chunk = np.asarray(
-                    model(self.variables, chunk_in))[0]
+            enhanced_chunk = np.asarray(model(self.variables, chunk_in))[0]
             enhanced_chunk = enhanced_chunk[256:]
             if chunk_idx == 0:
                 cur = enhanced_chunk[:hop]
@@ -297,7 +325,6 @@ class Inferencer:
 
         done = 0
         for padded_len, items in sorted(groups.items()):
-            key = ("dir_batch", padded_len, min(batch_size, len(items)))
             for start in range(0, len(items), batch_size):
                 chunk = items[start:start + batch_size]
                 wavs = np.zeros((len(chunk), padded_len), np.float32)
@@ -309,7 +336,11 @@ class Inferencer:
                                          (0, 0)))
                 key = ("dir_batch", padded_len, batch_size)
                 if key not in self._compiled:
+                    # compile (and warm) outside the timed window so the
+                    # per-bucket RTF reports steady-state throughput, not
+                    # each bucket's one-off compile
                     self._compiled[key] = jax.jit(batched_fn)
+                    np.asarray(self._compiled[key](self.variables, wavs))
                 t0 = time.perf_counter()
                 out = np.asarray(self._compiled[key](self.variables, wavs))
                 elapsed = time.perf_counter() - t0

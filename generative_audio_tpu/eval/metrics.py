@@ -187,8 +187,9 @@ def NB_PESQ(ref, est, sr: int = 16000) -> float:
         raise MetricUnavailable(
             "NB_PESQ requires the `pesq` wheel (not in this image)") from e
     if sr != 8000:
-        ref = resample_poly(ref, up=1, down=sr // 8000)
-        est = resample_poly(est, up=1, down=sr // 8000)
+        g = np.gcd(int(sr), 8000)   # gcd form: correct for e.g. sr=44100
+        ref = resample_poly(ref, up=8000 // g, down=sr // g)
+        est = resample_poly(est, up=8000 // g, down=sr // g)
     return float(pesq(8000, ref, est, "nb"))
 
 

@@ -75,14 +75,36 @@ class CheckpointManager:
         if not path.exists():
             return None
         if partial:
-            import orbax.checkpoint as ocp
             with ocp.PyTreeCheckpointer() as ckptr:
                 restored = ckptr.restore(path)
-            def merge(target, src):
+
+            missing = []
+
+            def merge(target, src, prefix=""):
                 if isinstance(target, dict):
-                    return {k: merge(v, src[k]) for k, v in target.items()}
+                    out = {}
+                    for k, v in target.items():
+                        if isinstance(src, dict) and k in src:
+                            out[k] = merge(v, src[k], f"{prefix}{k}/")
+                        else:
+                            # torch load_state_dict(strict=False) semantics
+                            # (base_trainer.py:112-127 fine-tune preload):
+                            # keys absent from the checkpoint keep the
+                            # target's (freshly initialized) value.
+                            missing.append(prefix + k)
+                            out[k] = v
+                    return out
                 return src
-            return merge(_to_saveable(target_tree), restored)
+
+            merged = merge(_to_saveable(target_tree), restored)
+            if missing:
+                import warnings
+                warnings.warn(
+                    f"partial restore from {path}: {len(missing)} target "
+                    f"key(s) absent from checkpoint kept their initialized "
+                    f"values: {missing[:8]}"
+                    + ("..." if len(missing) > 8 else ""))
+            return merged
         return self._ckptr.restore(path, target=_to_saveable(target_tree))
 
     def latest_step(self) -> Optional[int]:

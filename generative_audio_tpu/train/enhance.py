@@ -58,14 +58,29 @@ class EnhanceTrainConfig:
     loss_alpha: float = 0.0
 
 
-def _model(config: EnhanceTrainConfig, subband_sharding=None):
+def _model(config: EnhanceTrainConfig, subband_sharding=None,
+           num_groups: Optional[int] = None):
+    """num_groups overrides num_groups_in_drop_band (1 = full band)."""
     if config.model_type == "fullsubnet":
-        return FullSubNet(config.model_v1,
+        mcfg = config.model_v1
+        if num_groups is not None:
+            mcfg = dataclasses.replace(mcfg, num_groups_in_drop_band=num_groups)
+        return FullSubNet(mcfg,
                           compute_dtype=jnp.dtype(config.compute_dtype),
                           subband_sharding=subband_sharding)
-    return FullSubNetPlus(config.model,
+    mcfg = config.model
+    if num_groups is not None:
+        mcfg = dataclasses.replace(mcfg, num_groups_in_drop_band=num_groups)
+    return FullSubNetPlus(mcfg,
                           compute_dtype=jnp.dtype(config.compute_dtype),
                           subband_sharding=subband_sharding)
+
+
+def _apply_model(model, params, noisy_mag, nr, ni, model_type: str):
+    if model_type == "fullsubnet":
+        return model.apply({"params": params}, noisy_mag[:, None])
+    return model.apply({"params": params}, noisy_mag[:, None],
+                       nr[:, None], ni[:, None])
 
 
 def _num_groups(config: EnhanceTrainConfig) -> int:
@@ -84,29 +99,32 @@ def enhance_loss_fn(params, noisy: jnp.ndarray, clean: jnp.ndarray,
     noisy_mag = jnp.sqrt(nr ** 2 + ni ** 2)
 
     gt_cirm = build_complex_ideal_ratio_mask_ri(nr, ni, cr, ci)  # [B,F,T,2]
-    gt_cirm = drop_band(jnp.transpose(gt_cirm, (0, 3, 1, 2)),
-                        _num_groups(config))                     # [B,2,F',T]
 
-    model = _model(config, subband_sharding)
-    if config.model_type == "fullsubnet":
-        crm = model.apply({"params": params}, noisy_mag[:, None])
-    else:
-        crm = model.apply({"params": params}, noisy_mag[:, None],
-                          nr[:, None], ni[:, None])              # [B,2,F',T]
-    loss = cirm_mse_loss(crm, gt_cirm)
     if config.loss_alpha > 0:
         from generative_audio_tpu.ops.mask import decompress_cIRM, apply_crm
-        # enhanced complex spectrum from the (non-dropped) mask; the spectral
-        # term is computed on the full band like the reference (its drop_band
-        # for this term is commented out, trainer.py:191-199)
-        crm_full = model.apply({"params": params}, noisy_mag[:, None],
-                               nr[:, None], ni[:, None])             if _num_groups(config) > 1 and crm.shape[2] != nr.shape[1]             else crm
-        dec = decompress_cIRM(jnp.transpose(crm_full, (0, 2, 3, 1)))
-        er, ei = apply_crm(dec, nr[:, :dec.shape[1]], ni[:, :dec.shape[1]])
-        spec_mse = (jnp.mean(jnp.square(er - cr[:, :er.shape[1]]))
-                    + jnp.mean(jnp.square(ei - ci[:, :ei.shape[1]]))) / 2
-        loss = config.loss_alpha * spec_mse + (1 - config.loss_alpha) * loss
-    return loss
+        # Residual_Trainer objective (trainer.py:162-228): BOTH terms are
+        # computed at FULL band — the reference's drop_band calls for this
+        # objective are commented out (trainer.py:190-199). drop_band would
+        # decimate frequencies AND permute batch rows group-major, so the
+        # model itself runs with drop_band disabled (num_groups=1) to keep
+        # the mask aligned with the un-permuted noisy/clean spectra.
+        model = _model(config, subband_sharding, num_groups=1)
+        crm = _apply_model(model, params, noisy_mag, nr, ni,
+                           config.model_type)                    # [B,2,F,T]
+        loss_cirm = cirm_mse_loss(crm, jnp.transpose(gt_cirm, (0, 3, 1, 2)))
+        dec = decompress_cIRM(jnp.transpose(crm, (0, 2, 3, 1)))
+        er, ei = apply_crm(dec, nr, ni)
+        spec_mse = (jnp.mean(jnp.square(er - cr))
+                    + jnp.mean(jnp.square(ei - ci))) / 2
+        return (config.loss_alpha * spec_mse
+                + (1 - config.loss_alpha) * loss_cirm)
+
+    gt_cirm = drop_band(jnp.transpose(gt_cirm, (0, 3, 1, 2)),
+                        _num_groups(config))                     # [B,2,F',T]
+    model = _model(config, subband_sharding)
+    crm = _apply_model(model, params, noisy_mag, nr, ni,
+                       config.model_type)                        # [B,2,F',T]
+    return cirm_mse_loss(crm, gt_cirm)
 
 
 def init_enhance_state(config: EnhanceTrainConfig, rng: jax.Array,

@@ -163,3 +163,76 @@ def test_enhance_residual_loss_alpha(rng):
     state0 = T.init_enhance_state(cfg0, jax.random.PRNGKey(0))
     _, loss0 = step0(state0, noisy, clean)
     assert abs(float(loss) - float(loss0)) > 1e-7
+
+
+def test_enhance_residual_loss_alpha_full_band_alignment(rng):
+    """The loss_alpha>0 (Residual_Trainer) objective must compute BOTH terms
+    at full band with no drop_band (the reference comments its drop_band
+    calls out, trainer.py:190-199) — drop_band would decimate frequencies
+    AND permute batch rows, silently misaligning the spectral MSE."""
+    import dataclasses
+    from generative_audio_tpu.ops.stft import stft_ri
+    from generative_audio_tpu.ops.mask import (
+        build_complex_ideal_ratio_mask_ri, decompress_cIRM, apply_crm)
+    from generative_audio_tpu.losses import cirm_mse_loss
+    from generative_audio_tpu.train.enhance import enhance_loss_fn, _model
+
+    cfg = dataclasses.replace(_enhance_cfg(), loss_alpha=0.3)
+    assert cfg.model.num_groups_in_drop_band == 2  # the risky default
+    state = T.init_enhance_state(cfg, jax.random.PRNGKey(0))
+    clean = rng.standard_normal((4, 1024)).astype(np.float32)
+    noisy = clean + 0.3 * rng.standard_normal((4, 1024)).astype(np.float32)
+
+    loss = float(enhance_loss_fn(state.params, noisy, clean, cfg))
+
+    # by-hand full-band construction
+    nr, ni = stft_ri(noisy, cfg.n_fft, cfg.hop_length, cfg.win_length)
+    cr, ci = stft_ri(clean, cfg.n_fft, cfg.hop_length, cfg.win_length)
+    mag = jnp.sqrt(nr ** 2 + ni ** 2)
+    gt = build_complex_ideal_ratio_mask_ri(nr, ni, cr, ci)
+    model_full = _model(cfg, num_groups=1)
+    crm = model_full.apply({"params": state.params}, mag[:, None],
+                           nr[:, None], ni[:, None])
+    assert crm.shape[2] == nr.shape[1]  # full band, no decimation
+    l_cirm = cirm_mse_loss(crm, jnp.transpose(gt, (0, 3, 1, 2)))
+    dec = decompress_cIRM(jnp.transpose(crm, (0, 2, 3, 1)))
+    er, ei = apply_crm(dec, nr, ni)
+    l_spec = (jnp.mean((er - cr) ** 2) + jnp.mean((ei - ci) ** 2)) / 2
+    expected = float(0.3 * l_spec + 0.7 * l_cirm)
+    assert np.isclose(loss, expected, rtol=1e-6)
+
+
+def test_enhance_residual_loss_alpha_fullsubnet_v1(rng):
+    """model_type='fullsubnet' + loss_alpha>0 must run (previously crashed
+    calling the mag-only model with 3 args)."""
+    import dataclasses
+    from generative_audio_tpu.models.fullsubnet import FullSubNetConfig
+    cfg = T.EnhanceTrainConfig(
+        model_type="fullsubnet",
+        model_v1=FullSubNetConfig(
+            num_freqs=32, sb_num_neighbors=2, fb_model_hidden_size=16,
+            sb_model_hidden_size=8, num_groups_in_drop_band=2),
+        n_fft=62, hop_length=32, win_length=62, compute_dtype="float32",
+        loss_alpha=0.5)
+    state = T.init_enhance_state(cfg, jax.random.PRNGKey(0))
+    step = T.make_enhance_train_step(cfg, donate=False)
+    clean = rng.standard_normal((4, 1024)).astype(np.float32)
+    noisy = clean + 0.3 * rng.standard_normal((4, 1024)).astype(np.float32)
+    state, loss = step(state, noisy, clean)
+    assert np.isfinite(float(loss))
+
+
+def test_checkpoint_partial_restore_missing_key(tmp_path):
+    """partial=True keeps target values (torch strict=False semantics,
+    base_trainer.py:112-127) for keys absent from the checkpoint, with a
+    warning — not a bare KeyError."""
+    import warnings
+    mgr = T.CheckpointManager(tmp_path)
+    mgr.save_latest({"params": {"a": np.ones(3)}}, step=1)
+    target = {"params": {"a": np.zeros(3), "new_head": np.full(2, 7.0)}}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        restored = mgr.restore("latest", target, partial=True)
+    assert np.allclose(restored["params"]["a"], 1.0)          # from ckpt
+    assert np.allclose(restored["params"]["new_head"], 7.0)   # kept
+    assert any("new_head" in str(x.message) for x in w)
