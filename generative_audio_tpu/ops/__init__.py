@@ -12,7 +12,8 @@ from generative_audio_tpu.ops.mask import (  # noqa: F401
 from generative_audio_tpu.ops.subband import band_unfold, drop_band  # noqa: F401
 from generative_audio_tpu.ops.norms import (  # noqa: F401
     offline_laplace_norm, cumulative_laplace_norm, offline_gaussian_norm,
-    cumulative_layer_norm, forgetting_norm, hybrid_norm, get_norm,
+    cumulative_layer_norm, forgetting_norm, sband_forgetting_norm,
+    hybrid_norm, get_norm,
 )
 from generative_audio_tpu.ops.gram_schmidt import (  # noqa: F401
     gram_schmidt, gram_schmidt_to_spec_mag, gram_schmidt_to_crm,

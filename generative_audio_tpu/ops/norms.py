@@ -23,6 +23,7 @@ __all__ = [
     "offline_gaussian_norm",
     "cumulative_layer_norm",
     "forgetting_norm",
+    "sband_forgetting_norm",
     "hybrid_norm",
     "get_norm",
 ]
@@ -96,6 +97,32 @@ def forgetting_norm(x: jnp.ndarray,
     return x / (mu + eps)
 
 
+def sband_forgetting_norm(x: jnp.ndarray,
+                          train_sample_length: int = 192) -> jnp.ndarray:
+    """forgetting_norm variant: past the warmup the running mean is updated
+    from the MIDDLE frequency bin (f//2 - 1) only, not the frame mean.
+    Ref base_model.py:90-126 (python loop -> lax.scan here)."""
+    assert x.ndim == 3
+    b, f, t = x.shape
+    eps = 1e-10
+    alpha = (train_sample_length - 1) / (train_sample_length + 1)
+    frame_means = jnp.mean(x, axis=1)                      # [B, T]
+    mid_band = x[:, f // 2 - 1, :]                         # [B, T]
+    idxs = jnp.arange(t)
+
+    def step(mu, inp):
+        idx, frame_mean, mid = inp
+        alp = jnp.minimum((idx - 1.0) / (idx + 1.0), alpha)
+        warm = alp * mu + (1.0 - alp) * frame_mean
+        cold = alpha * mu + (1.0 - alpha) * mid
+        mu = jnp.where(idx < train_sample_length, warm, cold)
+        return mu, mu
+
+    _, mus = jax.lax.scan(step, jnp.zeros((b,), x.dtype),
+                          (idxs.astype(x.dtype), frame_means.T, mid_band.T))
+    return x / (mus.T[:, None, :] + eps)
+
+
 def hybrid_norm(x: jnp.ndarray,
                 sample_length_in_training: int = 192) -> jnp.ndarray:
     """Forgetting-norm warmup then cumulative mean. Ref base_model.py:164-206."""
@@ -124,16 +151,39 @@ def hybrid_norm(x: jnp.ndarray,
     return x / (cum_mean[:, None, :] + eps)
 
 
+def _as_3d(norm_fn):
+    """Adapt a [B, F, T] norm (the forgetting family) to the models' 4-D
+    [B, C, F, T] call convention by folding channels into the frequency axis
+    (the per-frame mean then runs over all C*F entries, consistent with how
+    the 4-D norms pool over (C, F)). The reference's norm_wrapper
+    (base_model.py:317-329) registers only the four 4-D norms and raises for
+    these — this adapter makes every reference norm_type usable from model
+    configs instead."""
+    def wrapped(x, *args, **kwargs):
+        if x.ndim == 3:
+            return norm_fn(x, *args, **kwargs)
+        b, c, f, t = x.shape
+        out = norm_fn(x.reshape(b, c * f, t), *args, **kwargs)
+        return out.reshape(b, c, f, t)
+    return wrapped
+
+
+# All SEVEN reference norms (base_model.py:90-315). The four 4-D norms are
+# what norm_wrapper dispatches; the 3-D forgetting family is adapted so any
+# reference norm_type works in a model config.
 _NORMS = {
     "offline_laplace_norm": offline_laplace_norm,
     "cumulative_laplace_norm": cumulative_laplace_norm,
     "offline_gaussian_norm": offline_gaussian_norm,
     "cumulative_layer_norm": cumulative_layer_norm,
+    "forgetting_norm": _as_3d(forgetting_norm),
+    "sband_forgetting_norm": _as_3d(sband_forgetting_norm),
+    "hybrid_norm": _as_3d(hybrid_norm),
 }
 
 
 def get_norm(norm_type: str):
-    """Ref base_model.py:317-329 (norm_wrapper)."""
+    """Ref base_model.py:317-329 (norm_wrapper), extended to all 7 norms."""
     if norm_type not in _NORMS:
         raise NotImplementedError(
             f"Unknown norm type {norm_type!r}; expected one of {list(_NORMS)}")
