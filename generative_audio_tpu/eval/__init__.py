@@ -16,6 +16,8 @@ from generative_audio_tpu.eval.nppc_validator import (  # noqa: F401
 from generative_audio_tpu.eval.nppc_denoising_validator import (  # noqa: F401
     DenoisingNPPCValidator, DenoisingNPPCValidatorConfig,
 )
+from generative_audio_tpu.eval.restoration_validator import (  # noqa: F401
+    RestorationValidator, RestorationValidatorConfig)
 from generative_audio_tpu.eval.pitch import yin_pitch_track  # noqa: F401
 from generative_audio_tpu.eval.transcription import (  # noqa: F401
     make_whisper_transcribe_fn, make_phoneme_fn,

@@ -53,9 +53,12 @@ class DenoisingNPPCValidator:
                                    c.win_length, length=length))
 
     def validate_sample(self, noisy_waveform: np.ndarray,
+                        clean_waveform: Optional[np.ndarray] = None,
                         sample_idx: int = 0, make_plot: bool = True,
                         write_audio: bool = True) -> Dict:
-        """[L] noisy waveform -> per-(pc, alpha) enhanced variations."""
+        """[L] noisy waveform -> per-(pc, alpha) enhanced variations.
+        clean_waveform (optional) adds the Clean and Error panels + clean.wav,
+        matching ref visualize_pc_spectrograms :148-302."""
         c = self.config
         noisy = np.asarray(noisy_waveform, np.float32)[None]
         w_mat = np.asarray(self.model_apply(self.variables, noisy))
@@ -73,10 +76,40 @@ class DenoisingNPPCValidator:
         if write_audio:
             write_wav(out_dir / "enhanced.wav", base, c.sample_rate)
             write_wav(out_dir / "noisy.wav", noisy[0], c.sample_rate)
+            if clean_waveform is not None:         # ref :129-133
+                write_wav(out_dir / "clean.wav",
+                          np.asarray(clean_waveform).reshape(-1),
+                          c.sample_rate)
+
+        # base spectrograms (dB) for the figure's first row (ref :207-243)
+        def mag_db(r, i):
+            return 20 * np.log10(np.sqrt(r ** 2 + i ** 2) + 1e-8)
+
+        er, ei = stft_ri(base[None], c.nfft, c.hop_length, c.win_length)
+        er, ei = np.asarray(er)[0], np.asarray(ei)[0]
+        base_row = {"Noisy": mag_db(nr[0], ni[0]),
+                    "Enhanced": mag_db(er, ei)}
+        if clean_waveform is not None:
+            cw = np.asarray(clean_waveform, np.float32).reshape(1, -1)
+            cr, ci = stft_ri(cw, c.nfft, c.hop_length, c.win_length)
+            cr, ci = np.asarray(cr)[0], np.asarray(ci)[0]
+            base_row["Clean"] = mag_db(cr, ci)
+            # error = |enhanced - clean| complex difference (ref :230-237)
+            base_row["Error (Enh - Clean)"] = 20 * np.log10(
+                np.sqrt((er - cr) ** 2 + (ei - ci) ** 2) + 1e-8)
 
         variations = []
+        # PC cRM direction -> complex spec magnitude (ref
+        # _crm_directions_to_spectograms :55-102) for the per-PC lead panel
+        pc_specs = np.zeros((n_dirs,) + nr.shape[1:], np.float32)
         specs = np.zeros((n_dirs, len(alphas)) + nr.shape[1:], np.float32)
         for i in range(n_dirs):
+            dir_wav = self._enhance(
+                np.transpose(w_mat[:, i], (0, 2, 3, 1)), nr, ni,
+                noisy.shape[-1])[0]
+            dr, di = stft_ri(dir_wav[None], c.nfft, c.hop_length,
+                             c.win_length)
+            pc_specs[i] = mag_db(np.asarray(dr)[0], np.asarray(di)[0])
             for j, alpha in enumerate(alphas):
                 crm_var = pred_crm + alpha * w_mat[:, i]   # [B, 2, F, T]
                 wav = self._enhance(np.transpose(crm_var, (0, 2, 3, 1)),
@@ -86,34 +119,61 @@ class DenoisingNPPCValidator:
                               wav, c.sample_rate)
                 r2, i2 = stft_ri(wav[None], c.nfft, c.hop_length,
                                  c.win_length)
-                specs[i, j] = np.sqrt(np.asarray(r2)[0] ** 2
-                                      + np.asarray(i2)[0] ** 2)
+                specs[i, j] = mag_db(np.asarray(r2)[0], np.asarray(i2)[0])
                 variations.append({"pc": i + 1, "alpha": float(alpha),
                                    "rms": float(np.sqrt(np.mean(wav ** 2)))})
 
         if make_plot:
-            self._plot_grid(specs, alphas, out_dir)
+            self._plot_grid(base_row, pc_specs, specs, alphas, out_dir)
         return {"variations": variations, "n_dirs": n_dirs,
                 "save_dir": str(out_dir)}
 
-    def _plot_grid(self, specs, alphas, out_dir):
+    def _plot_grid(self, base_row, pc_specs, specs, alphas, out_dir):
+        """The reference's (1 + n_dirs) x 9 figure (ref :202-294): row 0 =
+        noisy / clean / enhanced / error base spectrograms; each PC row =
+        the PC's own complex-spec magnitude + one panel per alpha."""
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
         n_dirs, n_alphas = specs.shape[:2]
-        fig, axes = plt.subplots(n_dirs, n_alphas,
-                                 figsize=(2 * n_alphas, 2 * n_dirs),
+        n_cols = max(n_alphas + 1, 9) if n_alphas >= 6 else n_alphas + 1
+        n_rows = n_dirs + 1
+        fig, axes = plt.subplots(n_rows, n_cols,
+                                 figsize=(3 * n_cols, 3 * n_rows),
                                  squeeze=False)
+
+        order = ["Noisy", "Clean", "Enhanced", "Error (Enh - Clean)"]
+        col = 0
+        for title in order:
+            if title not in base_row:
+                continue
+            ax = axes[0][col]
+            kw = ({"vmin": -60, "vmax": 0} if "Error" in title or
+                  title.startswith("PC") else {})
+            im = ax.imshow(base_row[title], origin="lower", aspect="auto",
+                           **kw)
+            fig.colorbar(im, ax=ax)
+            ax.set_title(title, fontsize=8)
+            if col == 0:
+                ax.set_ylabel("Base\nSpectrograms", fontsize=8)
+            col += 1
+        for j in range(col, n_cols):
+            axes[0][j].remove()
+
         for i in range(n_dirs):
+            ax = axes[i + 1][0]
+            im = ax.imshow(pc_specs[i], origin="lower", aspect="auto",
+                           vmin=-60, vmax=0)
+            fig.colorbar(im, ax=ax)
+            ax.set_title(f"PC {i + 1}", fontsize=8)
+            ax.set_ylabel(f"PC {i + 1}\nVariations", fontsize=8)
             for j in range(n_alphas):
-                axes[i][j].imshow(
-                    np.log10(specs[i, j] + 1e-6), origin="lower",
-                    aspect="auto", cmap="magma")
-                axes[i][j].set_xticks([])
-                axes[i][j].set_yticks([])
-                if i == 0:
-                    axes[i][j].set_title(f"α={alphas[j]:+.1f}", fontsize=8)
-            axes[i][0].set_ylabel(f"PC {i + 1}", fontsize=8)
+                ax = axes[i + 1][j + 1]
+                im = ax.imshow(specs[i, j], origin="lower", aspect="auto")
+                fig.colorbar(im, ax=ax)
+                ax.set_title(f"α={alphas[j]:+.1f}", fontsize=8)
+            for j in range(n_alphas + 1, n_cols):
+                axes[i + 1][j].remove()
         fig.tight_layout()
-        fig.savefig(Path(out_dir) / "pc_variations.png", dpi=100)
+        fig.savefig(Path(out_dir) / "pc_spectrograms_variations.png", dpi=100)
         plt.close(fig)

@@ -158,7 +158,7 @@ class NPPCValidator:
 
         if make_plots:
             self.plot_pc_spectrograms(pred, pc_dirs, clean_log_mag, mask4,
-                                      out_dir)
+                                      out_dir, masked=masked_log_mag)
         if make_audio and stats is not None and clean_phase is not None:
             metrics["audio_variations"] = self.save_pc_audio_variations(
                 pred, pc_dirs, clean_phase, stats, out_dir,
@@ -174,30 +174,124 @@ class NPPCValidator:
         return path
 
     # -------------------------------------------------------------- plots --
-    def plot_pc_spectrograms(self, pred, pc_dirs, clean, mask4, out_dir):
-        """alpha-sweep grid figure: rows = PCs, cols = alphas
-        (ref plot_pc_spectrograms :273-478)."""
+    def plot_pc_spectrograms(self, pred, pc_dirs, clean, mask4, out_dir,
+                             masked=None, per_image_pngs: bool = True,
+                             max_dirs: Optional[int] = None):
+        """Full plotting parity with ref plot_pc_spectrograms :273-478:
+
+        * every panel is ZOOMED to the gap plus one gap-width of context on
+          each side, with the mask bounds marked by dashed red lines
+          (:295-307, :337-338);
+        * top row: clean / masked / output / |clean-output| error / zoomed
+          clean / zoomed output (:358-434);
+        * one row per PC: the direction itself + output + α·direction for
+          every α in config.alphas (:437-475);
+        * each panel is ALSO dumped as an individual PNG with a real
+          time/frequency axis under `<out_dir>/spectrograms/` (:309-354).
+        """
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        c = self.config
         pred = np.asarray(pred)[0, 0]
         clean = np.asarray(clean)[0, 0]
         dirs = np.asarray(pc_dirs)[0]
-        alphas = list(self.config.alphas)
+        if max_dirs is not None:
+            dirs = dirs[:max_dirs]
+        frame_mask = np.asarray(mask4).reshape(
+            np.asarray(mask4).shape[0], -1, np.asarray(mask4).shape[-1])[0, 0]
+        masked = (np.asarray(masked)[0, 0] if masked is not None
+                  else clean * frame_mask[None, :])
+        alphas = list(c.alphas)
         n_dirs = dirs.shape[0]
-        fig, axes = plt.subplots(n_dirs, len(alphas),
-                                 figsize=(2 * len(alphas), 2 * n_dirs),
-                                 squeeze=False)
+        n_freqs, n_frames = clean.shape
+        vmin, vmax = -3.0, 3.0
+        vmin_err, vmax_err = 0.0, 3.0
+
+        # gap bounds in frames + one-gap-width context window (ref :295-302)
+        gap_cols = np.where(frame_mask == 0)[0]
+        if gap_cols.size:
+            g0, g1 = int(gap_cols[0]), int(gap_cols[-1]) + 1
+        else:
+            g0, g1 = 0, n_frames
+        width = max(g1 - g0, 1)
+        c0 = max(0, g0 - width)
+        c1 = min(n_frames, g1 + width)
+        sample_len_seconds = n_frames * c.hop_length / c.sample_rate
+        tpc = sample_len_seconds / n_frames          # time per frame column
+        extent = [c0 * tpc, c1 * tpc, 0, n_freqs]
+
+        spec_dir = Path(out_dir) / "spectrograms"
+        if per_image_pngs:
+            spec_dir.mkdir(parents=True, exist_ok=True)
+
+        def save_individual(data, filename, is_err=False):
+            """Per-panel PNG with time/frequency axes (ref :309-354)."""
+            if not per_image_pngs:
+                return
+            fig_s, ax = plt.subplots(figsize=(10, 6))
+            freqs = np.linspace(0, c.sample_rate / 2, n_freqs)
+            im = ax.imshow(data, origin="lower", aspect="auto",
+                           vmin=vmin_err if is_err else vmin,
+                           vmax=vmax_err if is_err else vmax,
+                           extent=[c0 * tpc, c1 * tpc, freqs[0], freqs[-1]])
+            fig_s.colorbar(im, ax=ax)
+            ax.axvline(x=g0 * tpc, color="r", linestyle="--", alpha=0.5)
+            ax.axvline(x=g1 * tpc, color="r", linestyle="--", alpha=0.5)
+            ax.set_xlabel("Time (s)")
+            ax.set_ylabel("Frequency (kHz)")
+            yticks = np.arange(0, c.sample_rate / 2 + 1, 2000)
+            ax.set_yticks(yticks)
+            ax.set_yticklabels([f"{int(f / 1000)}" for f in yticks])
+            fig_s.tight_layout()
+            fig_s.savefig(spec_dir / filename, dpi=80)
+            plt.close(fig_s)
+
+        n_cols = len(alphas) + 1
+        fig, axs = plt.subplots(1 + n_dirs, n_cols,
+                                figsize=(3 * n_cols, 3 * (1 + n_dirs)),
+                                squeeze=False)
+
+        def panel(ax, data, title, is_err=False, vlines=True):
+            im = ax.imshow(data[:, c0:c1], origin="lower", aspect="auto",
+                           vmin=vmin_err if is_err else vmin,
+                           vmax=vmax_err if is_err else vmax, extent=extent)
+            ax.set_title(title, fontsize=8)
+            fig.colorbar(im, ax=ax)
+            if vlines:
+                ax.axvline(x=g0 * tpc, color="r", linestyle="--", alpha=0.5)
+                ax.axvline(x=g1 * tpc, color="r", linestyle="--", alpha=0.5)
+
+        # top row (ref :358-434)
+        error = np.abs(clean - pred)
+        panel(axs[0][0], clean, "Clean Spectrogram", vlines=False)
+        panel(axs[0][1], masked, "Masked Spectrogram", vlines=False)
+        panel(axs[0][2], pred, "Model Output Spectrogram", vlines=False)
+        panel(axs[0][3], error, "Reconstruction Error (dB)", is_err=True,
+              vlines=False)
+        save_individual(clean[:, c0:c1], "clean_spec.png")
+        save_individual(masked[:, c0:c1], "masked_spec.png")
+        save_individual(pred[:, c0:c1], "output_spec.png")
+        save_individual(error[:, c0:c1], "error_spec.png", is_err=True)
+        if n_cols > 4:
+            panel(axs[0][4], clean, "Clean Spec (Inpainting Region)")
+        if n_cols > 5:
+            panel(axs[0][5], pred, "Output Spec (Inpainting Region)")
+        for j in range(min(6, n_cols), n_cols):
+            axs[0][j].remove()
+
+        # PC rows (ref :437-475)
         for i in range(n_dirs):
+            panel(axs[i + 1][0], dirs[i], f"PC Direction {i + 1} (dB)")
+            save_individual(dirs[i][:, c0:c1], f"pc_direction_{i + 1}.png")
             for j, alpha in enumerate(alphas):
-                axes[i][j].imshow(pred + alpha * dirs[i], origin="lower",
-                                  aspect="auto", cmap="magma")
-                axes[i][j].set_xticks([])
-                axes[i][j].set_yticks([])
-                if i == 0:
-                    axes[i][j].set_title(f"α={alpha:g}", fontsize=8)
-            axes[i][0].set_ylabel(f"PC {i + 1}", fontsize=8)
+                modified = pred + alpha * dirs[i]
+                panel(axs[i + 1][j + 1], modified,
+                      f"Base + PC{i + 1} (α={alpha:.1f})")
+                save_individual(modified[:, c0:c1],
+                                f"pc{i + 1}_alpha_{alpha:.1f}.png")
+
         fig.tight_layout()
         path = Path(out_dir) / "pc_spectrograms.png"
         fig.savefig(path, dpi=100)

@@ -24,6 +24,7 @@ __all__ = [
     "masked_mse_loss",
     "second_moment_lambda",
     "nppc_objective_real",
+    "nppc_objective_mc_aligned",
     "nppc_objective_complex",
 ]
 
@@ -81,6 +82,55 @@ def nppc_objective_real(w_mat: jnp.ndarray, err: jnp.ndarray,
     lam = second_moment_lambda(step, grace, lambda_scale)
     objective = jnp.mean(reconst_err) + lam * jnp.mean(second_moment_mse)
     log = {"err_proj": err_proj, "w_norms": w_norms,
+           "reconst_err": reconst_err,
+           "second_moment_mse": second_moment_mse,
+           "second_moment_lambda": lam}
+    return reconst_err, objective, log
+
+
+def nppc_objective_mc_aligned(w_mat: jnp.ndarray, w_mc_scaled: jnp.ndarray,
+                              singular_values: jnp.ndarray, step: jnp.ndarray,
+                              grace: int, lambda_scale: float = 1.0,
+                              eps: float = 1e-6
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+    """The `base_step2` MC-PCA-aligned NPPC objective.
+
+    Instead of projecting the restoration *error* onto the PC directions, each
+    NPPC direction i is aligned to the i-th MC-dropout-PCA direction
+    (reconst_err_i = 1 - <w_hat_i, w_mc_hat_i>^2) and the second moment targets
+    the PCA *singular value* of that direction rather than the detached error
+    projection. Ref nppc_trainer.py:244-336 (proj :298-307, stack/mean
+    :313-315, objective :323).
+
+    Args:
+        w_mat: [B, n_dirs, ...] NPPC directions (post Gram-Schmidt).
+        w_mc_scaled: [B, n_dirs, ...] MC-dropout PCA directions scaled by
+            their singular values (calculate_unet_baseline
+            'scaled_principal_components').
+        singular_values: [B, n_dirs] the PCA singular values.
+    Returns:
+        (reconst_err [B] — per-item mean over dirs, objective scalar, log).
+    """
+    b, n_dirs = w_mat.shape[:2]
+    w_flat = w_mat.reshape(b, n_dirs, -1)
+    w_norms = jnp.linalg.norm(w_flat, axis=2) + eps          # [B, n_dirs]
+    w_hat = w_flat / w_norms[:, :, None]
+
+    # the MC basis is a fixed target: no gradient flows into it
+    w_mc = lax.stop_gradient(w_mc_scaled.reshape(b, n_dirs, -1))
+    mc_norms = jnp.linalg.norm(w_mc, axis=2) + eps
+    w_mc_hat = w_mc / mc_norms[:, :, None]
+    svals = lax.stop_gradient(singular_values)
+
+    # per-direction cosine between NPPC dir i and MC-PCA dir i (ref :303)
+    proj = jnp.sum(w_hat * w_mc_hat, axis=2)                 # [B, n_dirs]
+    reconst_err = jnp.mean(1.0 - jnp.square(proj), axis=1)   # [B] (ref :313)
+    second_moment_mse = jnp.mean(
+        jnp.square(jnp.square(w_norms) - jnp.square(svals)), axis=1)
+
+    lam = second_moment_lambda(step, grace, lambda_scale)
+    objective = jnp.mean(reconst_err) + lam * jnp.mean(second_moment_mse)
+    log = {"proj_w_mc_on_w_nppc": proj, "w_norms": w_norms,
            "reconst_err": reconst_err,
            "second_moment_mse": second_moment_mse,
            "second_moment_lambda": lam}

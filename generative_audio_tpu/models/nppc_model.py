@@ -147,6 +147,18 @@ class InpaintingNPPCModel(nn.Module):
             self.pretrained_restoration_model(masked_spec_mag_log, mask,
                                               train=False))
 
+    def mc_restoration(self, masked_spec_mag_log: jnp.ndarray,
+                       mask: jnp.ndarray) -> jnp.ndarray:
+        """One MC-dropout sample from the frozen restoration model: dropout
+        active, BatchNorm on running stats (the reference's eval-time
+        enable_dropout, utils.py:333-339; base_step2 flips the whole module
+        with .train()/.eval() at nppc_trainer.py:267-273 — we keep BN frozen,
+        the documented convention of eval/mc_dropout.py). Needs a 'dropout'
+        rng at apply time."""
+        return jax.lax.stop_gradient(
+            self.pretrained_restoration_model(masked_spec_mag_log, mask,
+                                              train=False, mc_dropout=True))
+
     def __call__(self, masked_spec_mag_norm: jnp.ndarray,
                  mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """masked log-mag [B,1,F,T] + mask [B,1,F,T] -> w_mat [B,n_dirs,F,T]."""

@@ -28,7 +28,7 @@ from generative_audio_tpu.ops.stft import stft_ri
 from generative_audio_tpu.ops.mask import build_complex_ideal_ratio_mask_ri
 from generative_audio_tpu.ops.subband import drop_band
 from generative_audio_tpu.losses import (
-    nppc_objective_real, nppc_objective_complex)
+    nppc_objective_real, nppc_objective_complex, nppc_objective_mc_aligned)
 from generative_audio_tpu.train.state import (
     TrainState, create_train_state, make_optimizer)
 from generative_audio_tpu.train.checkpoint import CheckpointManager
@@ -50,6 +50,11 @@ class NPPCInpaintingTrainConfig:
     num_frames: int = 256
     log_interval: int = 100
     save_interval: int = 1000
+    # "base_step" (error-projection, nppc_trainer.py:338-385) or
+    # "mc_pca_aligned" (base_step2, nppc_trainer.py:244-336: align each NPPC
+    # direction to the matching MC-dropout-PCA direction)
+    objective_variant: str = "base_step"
+    n_mc_samples: int = 50
 
 
 class NPPCInpaintingTrainer:
@@ -142,7 +147,10 @@ class NPPCInpaintingTrainer:
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        rngs = {"dropout": rng} if train else None
+        if rng is None:
+            rng = jax.random.PRNGKey(0)        # deterministic validation
+        drop_rng, mc_rng = jax.random.split(rng)
+        rngs = {"dropout": drop_rng} if train else None
         new_stats = batch_stats
         if train:
             # training-mode BN in the PC UNet updates its running stats
@@ -153,6 +161,24 @@ class NPPCInpaintingTrainer:
         else:
             w_mat = self.model.apply(variables, masked_norm_log, mask4,
                                      train=False)
+        if self.config.objective_variant == "mc_pca_aligned":
+            # base_step2 (nppc_trainer.py:244-336): the target basis is the
+            # MC-dropout-PCA of the frozen restoration model, recomputed per
+            # batch; gradient flows only through w_mat.
+            from generative_audio_tpu.eval.mc_dropout import (
+                calculate_unet_baseline)
+            baseline = calculate_unet_baseline(
+                lambda v, x, m, rngs: self.model.apply(
+                    v, x, m, method=self.model.mc_restoration, rngs=rngs),
+                variables, masked_norm_log, mask4, mc_rng,
+                n_mc_samples=self.config.n_mc_samples,
+                n_components=self.config.model.pc_wrapper.n_dirs)
+            reconst_err, objective, log = nppc_objective_mc_aligned(
+                w_mat, baseline["scaled_principal_components"],
+                baseline["singular_vals"], step.astype(jnp.float32),
+                grace=self.config.second_moment_loss_grace,
+                lambda_scale=self.config.second_moment_loss_lambda)
+            return objective, (reconst_err, new_stats, log)
         pred = self.model.apply(variables, masked_norm_log, mask4,
                                 method=self.model.get_pred_spec_mag_norm)
         err = clean_norm_log - pred                      # [B, 1, F, T]

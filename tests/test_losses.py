@@ -99,3 +99,60 @@ def test_nppc_real_gradient_pattern(rng):
 
     g = jax.grad(obj)(w)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_nppc_objective_mc_aligned_matches_reference(rng):
+    """base_step2 rederivation (nppc_trainer.py:244-336): per-direction
+    cosine to the MC-PCA basis + singular-value second moment."""
+    w_mat = rng.standard_normal((3, 4, 16, 12)).astype(np.float32)
+    w_mc = rng.standard_normal((3, 4, 16, 12)).astype(np.float32)
+    svals = np.abs(rng.standard_normal((3, 4))).astype(np.float32)
+    step = np.float32(600)
+    reconst, obj, log = losses.nppc_objective_mc_aligned(
+        w_mat, w_mc, svals, step, grace=500, lambda_scale=1.0)
+
+    # torch rederivation (nppc_trainer.py:254-323)
+    tw = torch.from_numpy(w_mat).flatten(2)
+    w_norms = tw.norm(dim=2) + 1e-6
+    w_hat = tw / w_norms[:, :, None]
+    tmc = torch.from_numpy(w_mc).flatten(2)
+    mc_norms = tmc.norm(dim=2) + 1e-6
+    mc_hat = tmc / mc_norms[:, :, None]
+    proj, rec_l, smm_l = [], [], []
+    for i in range(w_hat.shape[1]):               # ref :298-310
+        p = torch.sum(w_hat[:, i] * mc_hat[:, i], dim=1)
+        proj.append(p)
+        rec_l.append(1 - p.pow(2))
+        smm_l.append((w_norms[:, i].pow(2)
+                      - torch.from_numpy(svals)[:, i].pow(2)).pow(2))
+    reconst_ref = torch.stack(rec_l, dim=1).mean(dim=1)     # ref :313
+    smm_ref = torch.stack(smm_l, dim=1).mean(dim=1)         # ref :314
+    lam = min(max(-1 + 2 * 600 / 500, 1e-6), 1)
+    obj_ref = reconst_ref.mean() + lam * smm_ref.mean()
+
+    np.testing.assert_allclose(np.asarray(reconst), reconst_ref.numpy(),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(obj), float(obj_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(log["proj_w_mc_on_w_nppc"]),
+                               torch.stack(proj, dim=1).numpy(),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_nppc_mc_aligned_gradient_pattern():
+    """Gradient flows only through w_mat; the MC basis and singular values
+    are fixed targets (ref: W_mc comes from a frozen no-grad model)."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((2, 3, 8, 6)), jnp.float32)
+    mc = jnp.asarray(rng.standard_normal((2, 3, 8, 6)), jnp.float32)
+    sv = jnp.asarray(np.abs(rng.standard_normal((2, 3))), jnp.float32)
+
+    def f(w, mc, sv):
+        return losses.nppc_objective_mc_aligned(
+            w, mc, sv, jnp.float32(1000), grace=500)[1]
+
+    gw, gmc, gsv = jax.grad(f, argnums=(0, 1, 2))(w, mc, sv)
+    assert float(jnp.abs(gw).max()) > 0
+    assert float(jnp.abs(gmc).max()) == 0
+    assert float(jnp.abs(gsv).max()) == 0

@@ -155,8 +155,51 @@ def test_denoising_validator(tmp_path, rng):
     cfg = DenoisingNPPCValidatorConfig(save_dir=str(tmp_path))
     val = DenoisingNPPCValidator(model_apply, crm_apply, {}, cfg)
     noisy = rng.standard_normal(16000 - 128).astype(np.float32) * 0.1
-    out = val.validate_sample(noisy, sample_idx=0)
+    clean = rng.standard_normal(16000 - 128).astype(np.float32) * 0.1
+    out = val.validate_sample(noisy, clean_waveform=clean, sample_idx=0)
     d = Path(out["save_dir"])
-    assert (d / "pc_variations.png").exists()
+    # the reference's 9-column figure name (validator.py:293)
+    assert (d / "pc_spectrograms_variations.png").exists()
     assert (d / "enhanced.wav").exists()
+    assert (d / "clean.wav").exists()
     assert len(out["variations"]) == 2 * 6
+
+
+def test_restoration_validator(tmp_path, rng):
+    """Standalone restoration validator (validator_restoration_model.py:43-166):
+    gap MSE matches the reference formula; 2x2 figure + JSON written."""
+    import torch
+    from generative_audio_tpu.eval.restoration_validator import (
+        RestorationValidator, RestorationValidatorConfig)
+    from generative_audio_tpu.ops.preprocess import preprocess_data
+
+    b, f, t = 1, 16, 32
+    clean_spec = rng.standard_normal((b, 2, f, t)).astype(np.float32)
+    mask = np.ones((b, t), np.float32)
+    mask[:, 10:18] = 0
+    masked_spec = clean_spec * mask[:, None, None, :]
+
+    # a deterministic fake model: echoes the masked input
+    def apply_fn(variables, x, mask4):
+        return np.asarray(x)
+
+    cfg = RestorationValidatorConfig(save_dir=str(tmp_path / "v"),
+                                     sample_len_seconds=0.5)
+    val = RestorationValidator(apply_fn, None, cfg)
+    r = val.validate_sample(masked_spec, mask, clean_spec, sample_idx=0)
+
+    # torch rederivation of the gap MSE (ref :153-156)
+    cl, m4, mk = preprocess_data(clean_spec, masked_spec, mask)
+    out = torch.from_numpy(np.asarray(mk))
+    clean_t = torch.from_numpy(np.asarray(cl))
+    omask = 1 - torch.from_numpy(np.asarray(m4))
+    ref_mse = (((out - clean_t) ** 2) * omask).sum() / omask.sum()
+    np.testing.assert_allclose(r["mse"], float(ref_mse), rtol=1e-5)
+    assert (tmp_path / "v" / "spectrogram_comparison_0.png").exists()
+
+    # loader-level aggregation
+    loader = [(masked_spec, mask, clean_spec)] * 3
+    summary = val.validate_dataloader(loader, max_samples=2)
+    assert summary["num_samples"] == 2
+    np.testing.assert_allclose(summary["mean_gap_mse"], r["mse"], rtol=1e-5)
+    assert (tmp_path / "v" / "restoration_validation.json").exists()

@@ -236,3 +236,34 @@ def test_checkpoint_partial_restore_missing_key(tmp_path):
     assert np.allclose(restored["params"]["a"], 1.0)          # from ckpt
     assert np.allclose(restored["params"]["new_head"], 7.0)   # kept
     assert any("new_head" in str(x.message) for x in w)
+
+
+def test_nppc_inpainting_mc_pca_aligned_variant(rng):
+    """base_step2 (nppc_trainer.py:244-336): training with the MC-PCA-aligned
+    objective moves the PC directions TOWARD the MC-dropout-PCA basis.
+    Validation uses a fixed rng, so its MC basis is a deterministic target."""
+    cfg = T.NPPCInpaintingTrainConfig(
+        model=InpaintingNPPCConfig(
+            restoration=UNetModelConfig(1, 1, 0.2),
+            pc_wrapper=AudioInpaintingPCWrapperConfig(
+                in_channels=2, out_channels=3, n_dirs=3)),
+        num_freqs=32, num_frames=64, second_moment_loss_grace=10000,
+        objective_variant="mc_pca_aligned", n_mc_samples=6,
+        learning_rate=3e-4)
+    trainer = T.NPPCInpaintingTrainer(cfg)
+    batch = _inpaint_batch(rng)
+    frozen_before = jax.tree.map(
+        np.asarray, trainer.state.params["pretrained_restoration_model"])
+
+    _, rec_before = trainer._eval_fn(trainer.state, batch)
+    losses = trainer.train([batch] * 2, n_steps=12, log=lambda *a: None)
+    _, rec_after = trainer._eval_fn(trainer.state, batch)
+
+    assert np.isfinite(losses).all()
+    # alignment improved: mean_i (1 - <w_hat_i, w_mc_hat_i>^2) dropped
+    assert float(rec_after) < float(rec_before)
+    # the restoration branch stayed frozen
+    for a, b in zip(jax.tree.leaves(frozen_before),
+                    jax.tree.leaves(
+                        trainer.state.params["pretrained_restoration_model"])):
+        np.testing.assert_array_equal(a, np.asarray(b))
