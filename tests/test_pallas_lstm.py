@@ -142,3 +142,89 @@ def test_pick_block_heuristic():
     assert _round_up(600, _pick_block(600, 256)) <= 768
     # tiny batches collapse to the 8-row tile
     assert _pick_block(4, 256) == 8
+
+
+class TestPallasBackwardKernel:
+    """The round-2 dedicated Pallas backward (reverse-time sweep, VMEM
+    dh/dc carry, in-kernel dW_hh accumulation) vs lax.scan reference VJP."""
+
+    def test_reverse_scan_gradients(self):
+        t, b, h = 7, 8, 8
+        gx = _rand((t, b, 4 * h), seed=20)
+        whh = _rand((h, 4 * h), scale=0.2, seed=21)
+        gp = jax.grad(lambda *a: jnp.sum(
+            lstm_scan_tm(*a, True, 256, None, jnp.float32) ** 2),
+            argnums=(0, 1))(gx, whh)
+        gr = jax.grad(lambda *a: jnp.sum(
+            lstm_scan_reference_tm(*a, reverse=True) ** 2),
+            argnums=(0, 1))(gx, whh)
+        for a, b_ in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-2, rtol=1e-2)
+
+    def test_padded_batch_gradients(self):
+        """b=11 pads to the block; padded rows must contribute zero grad."""
+        t, b, h = 5, 11, 8
+        gx = _rand((t, b, 4 * h), seed=22)
+        whh = _rand((h, 4 * h), scale=0.2, seed=23)
+        gp = jax.grad(lambda *a: jnp.sum(
+            lstm_scan_tm(*a, False, 256, None, jnp.float32) ** 2),
+            argnums=(0, 1))(gx, whh)
+        gr = jax.grad(lambda *a: jnp.sum(
+            lstm_scan_reference_tm(*a) ** 2), argnums=(0, 1))(gx, whh)
+        for a, b_ in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-2, rtol=1e-2)
+
+    def test_nonuniform_cotangent(self):
+        """A structured (non-symmetric) upstream gradient, not just 2*y."""
+        t, b, h = 6, 8, 8
+        gx = _rand((t, b, 4 * h), seed=24)
+        whh = _rand((h, 4 * h), scale=0.2, seed=25)
+        ct = _rand((t, b, h), seed=26)
+
+        def loss(fn):
+            return lambda *a: jnp.sum(fn(*a) * ct)
+
+        gp = jax.grad(loss(lambda g_, w: lstm_scan_tm(
+            g_, w, False, 256, None, jnp.float32)), argnums=(0, 1))(gx, whh)
+        gr = jax.grad(loss(lstm_scan_reference_tm), argnums=(0, 1))(gx, whh)
+        for a, b_ in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-2, rtol=1e-2)
+
+    def test_lstm_layer_gradients(self):
+        from generative_audio_tpu.ops.pallas_lstm import (
+            lstm_layer_tm, _layer_reference)
+        t, b, f, h = 5, 9, 6, 8
+        x = _rand((t, b, f), seed=27)
+        wih = _rand((f, 4 * h), scale=0.3, seed=28)
+        whh = _rand((h, 4 * h), scale=0.2, seed=29)
+        bias = _rand((4 * h,), scale=0.1, seed=30)
+        gp = jax.grad(lambda *a: jnp.sum(
+            lstm_layer_tm(*a, False, 256, None, jnp.float32) ** 2),
+            argnums=(0, 1, 2, 3))(x, wih, whh, bias)
+        gr = jax.grad(lambda *a: jnp.sum(
+            _layer_reference(*a, False) ** 2),
+            argnums=(0, 1, 2, 3))(x, wih, whh, bias)
+        for a, b_ in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=3e-2, rtol=2e-2)
+
+    def test_gru_padded_and_reverse_gradients(self):
+        from generative_audio_tpu.ops.pallas_lstm import (
+            gru_scan_tm, gru_scan_reference_tm)
+        t, b, h = 6, 11, 8
+        gx = _rand((t, b, 3 * h), seed=31)
+        whh = _rand((h, 3 * h), scale=0.2, seed=32)
+        bhh = _rand((3 * h,), scale=0.1, seed=33)
+        for rev in (False, True):
+            gp = jax.grad(lambda *a: jnp.sum(
+                gru_scan_tm(*a, rev, 256, None, jnp.float32) ** 2),
+                argnums=(0, 1, 2))(gx, whh, bhh)
+            gr = jax.grad(lambda *a: jnp.sum(
+                gru_scan_reference_tm(*a, reverse=rev) ** 2),
+                argnums=(0, 1, 2))(gx, whh, bhh)
+            for a, b_ in zip(gp, gr):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                           atol=2e-2, rtol=1e-2)
