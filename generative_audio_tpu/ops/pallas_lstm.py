@@ -52,6 +52,12 @@ def pallas_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Trace-time switch between the dedicated Pallas backward kernels and the
+# round-1 lax.scan rematerialization backward — kept for A/B benchmarking
+# and as an escape hatch. Read when a grad is traced, not per call.
+USE_PALLAS_BACKWARD = True
+
+
 def lstm_scan_reference_tm(gates_x: jnp.ndarray, w_hh: jnp.ndarray,
                            reverse: bool = False,
                            compute_dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -398,6 +404,10 @@ def _pad_batch(x, b_pad):
 def _lstm_fwd(gates_x, w_hh, reverse, block_b, interpret, out_dtype):
     """Train-mode forward: also streams the bf16 cell/hidden sequences —
     the only residuals the Pallas backward needs."""
+    if not USE_PALLAS_BACKWARD:
+        out = lstm_scan_tm(gates_x, w_hh, reverse, block_b, interpret,
+                           out_dtype)
+        return out, (gates_x, w_hh, None, None)
     interp = (not pallas_available()) if interpret is None else interpret
     b = gates_x.shape[1]
     block = _pick_block(b, block_b)
@@ -409,6 +419,13 @@ def _lstm_fwd(gates_x, w_hh, reverse, block_b, interpret, out_dtype):
 
 def _lstm_bwd(reverse, block_b, interpret, out_dtype, residuals, g):
     gates_x, w_hh, h_seq, c_seq = residuals
+    if h_seq is None:      # round-1 scan-rematerialization backward
+        _, vjp = jax.vjp(
+            lambda gx, w: lstm_scan_reference_tm(gx.astype(jnp.float32), w,
+                                                 reverse=reverse),
+            gates_x, w_hh)
+        dgx, dw = vjp(g.astype(jnp.float32))
+        return dgx.astype(gates_x.dtype), dw
     interp = (not pallas_available()) if interpret is None else interpret
     b = gates_x.shape[1]
     block = _pick_block(b, block_b)
@@ -815,6 +832,10 @@ def _gru_pallas_call_bwd(gates_x_tm, h_seq, gout, w_hh, b_hh,
 
 
 def _gru_fwd(gates_x, w_hh, b_hh, reverse, block_b, interpret, out_dtype):
+    if not USE_PALLAS_BACKWARD:
+        out = gru_scan_tm(gates_x, w_hh, b_hh, reverse, block_b, interpret,
+                          out_dtype)
+        return out, (gates_x, w_hh, b_hh, None)
     interp = (not pallas_available()) if interpret is None else interpret
     b = gates_x.shape[1]
     block = _pick_block(b, block_b)
@@ -826,6 +847,13 @@ def _gru_fwd(gates_x, w_hh, b_hh, reverse, block_b, interpret, out_dtype):
 
 def _gru_bwd(reverse, block_b, interpret, out_dtype, residuals, g):
     gates_x, w_hh, b_hh, h_seq = residuals
+    if h_seq is None:      # round-1 scan-rematerialization backward
+        _, vjp = jax.vjp(
+            lambda gx, w, b: gru_scan_reference_tm(
+                gx.astype(jnp.float32), w, b, reverse=reverse),
+            gates_x, w_hh, b_hh)
+        dgx, dw, db = vjp(g.astype(jnp.float32))
+        return dgx.astype(gates_x.dtype), dw, db
     interp = (not pallas_available()) if interpret is None else interpret
     b = gates_x.shape[1]
     block = _pick_block(b, block_b)
