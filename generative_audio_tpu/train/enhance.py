@@ -29,7 +29,7 @@ from generative_audio_tpu.ops.mask import build_complex_ideal_ratio_mask_ri
 from generative_audio_tpu.ops.subband import drop_band
 from generative_audio_tpu.losses import cirm_mse_loss
 from generative_audio_tpu.train.state import (
-    TrainState, create_train_state, make_optimizer)
+    TrainState, create_train_state, make_optimizer, jit_init)
 
 __all__ = ["EnhanceTrainConfig", "enhance_loss_fn", "make_enhance_train_step",
            "init_enhance_state"]
@@ -133,9 +133,10 @@ def init_enhance_state(config: EnhanceTrainConfig, rng: jax.Array,
          else config.model.num_freqs)
     dummy = jnp.zeros((1, 1, f, example_frames), jnp.float32)
     if config.model_type == "fullsubnet":
-        params = _model(config).init(rng, dummy)["params"]
+        params = jit_init(_model(config).init)(rng, dummy)["params"]
     else:
-        params = _model(config).init(rng, dummy, dummy, dummy)["params"]
+        params = jit_init(_model(config).init)(
+            rng, dummy, dummy, dummy)["params"]
     tx = make_optimizer(config.learning_rate, config.betas,
                         clip_norm=config.clip_grad_norm)
     return create_train_state(params, tx)

@@ -30,7 +30,7 @@ from generative_audio_tpu.models.image_restoration import (
     ImageRestorationConfig, ImageRestorationModel)
 from generative_audio_tpu.train.checkpoint import CheckpointManager
 from generative_audio_tpu.train.state import (
-    TrainState, create_train_state, make_optimizer)
+    TrainState, create_train_state, make_optimizer, jit_init)
 
 __all__ = ["ImageRestorationTrainer", "ImageNPPCTrainer"]
 
@@ -154,7 +154,8 @@ class ImageRestorationTrainer(_ImageTrainerBase):
         self.model = model or ImageRestorationModel(config)
         super().__init__(checkpoint_dir, config, seed)
 
-        variables = self.model.init(jax.random.PRNGKey(config.random_seed))
+        variables = jit_init(self.model.init)(
+            jax.random.PRNGKey(config.random_seed))
         tx = make_optimizer(config.lr, (0.9, 0.999),
                             weight_decay=config.weight_decay)
         self.state = create_train_state(variables["params"], tx)
@@ -237,7 +238,8 @@ class ImageNPPCTrainer(_ImageTrainerBase):
         self.model = ImageNPPCModel(config, restoration_model)
         super().__init__(checkpoint_dir, config, seed)
 
-        variables = self.model.init(jax.random.PRNGKey(config.random_seed))
+        variables = jit_init(self.model.init)(
+            jax.random.PRNGKey(config.random_seed))
         tx = make_optimizer(config.lr, (0.9, 0.999),
                             weight_decay=config.weight_decay)
         self.state = create_train_state(variables["params"]

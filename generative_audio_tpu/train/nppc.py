@@ -30,7 +30,7 @@ from generative_audio_tpu.ops.subband import drop_band
 from generative_audio_tpu.losses import (
     nppc_objective_real, nppc_objective_complex, nppc_objective_mc_aligned)
 from generative_audio_tpu.train.state import (
-    TrainState, create_train_state, make_optimizer)
+    TrainState, create_train_state, make_optimizer, jit_init)
 from generative_audio_tpu.train.checkpoint import CheckpointManager
 
 __all__ = ["NPPCInpaintingTrainConfig", "NPPCInpaintingTrainer",
@@ -67,8 +67,9 @@ class NPPCInpaintingTrainer:
         self.config = config
         self.model = InpaintingNPPCModel(config.model)
         dummy = jnp.zeros((1, 1, config.num_freqs, config.num_frames))
-        variables = self.model.init(jax.random.PRNGKey(seed), dummy,
-                                    jnp.ones_like(dummy), train=False)
+        variables = jit_init(lambda k: self.model.init(
+            k, dummy, jnp.ones_like(dummy), train=False))(
+            jax.random.PRNGKey(seed))
         params = variables["params"]
         batch_stats = variables.get("batch_stats")
         if restoration_variables is not None:
@@ -125,8 +126,9 @@ class NPPCInpaintingTrainer:
             art_dir = candidates[0]
         rest = InpaintingRestorationModel(config.model.restoration)
         dummy = jnp.zeros((1, 1, config.num_freqs, config.num_frames))
-        template = rest.init(jax.random.PRNGKey(0), dummy,
-                             jnp.ones_like(dummy), train=False)
+        template = jit_init(lambda k: rest.init(
+            k, dummy, jnp.ones_like(dummy), train=False))(
+            jax.random.PRNGKey(0))
         ckpt = CheckpointManager(art_dir)
         tree = {"params": template["params"],
                 "batch_stats": template.get("batch_stats")}
@@ -270,7 +272,8 @@ class NPPCDenoisingTrainer:
         self.config = config
         self.model = DenoisingNPPCModel(config.model)
         dummy = jnp.zeros((1, example_length))
-        params = self.model.init(jax.random.PRNGKey(seed), dummy)["params"]
+        params = jit_init(self.model.init)(
+            jax.random.PRNGKey(seed), dummy)["params"]
         if restoration_params is not None:
             params = dict(params)
             params["pretrained_restoration_model"] = restoration_params

@@ -23,7 +23,7 @@ from generative_audio_tpu.models.nppc_model import (
 from generative_audio_tpu.ops.preprocess import preprocess_data
 from generative_audio_tpu.losses import masked_mse_loss
 from generative_audio_tpu.train.state import (
-    TrainState, create_train_state, make_optimizer)
+    TrainState, create_train_state, make_optimizer, jit_init)
 from generative_audio_tpu.train.checkpoint import CheckpointManager
 
 __all__ = ["RestorationTrainConfig", "RestorationTrainer"]
@@ -49,8 +49,9 @@ class RestorationTrainer:
         self.model = InpaintingRestorationModel(config.model)
 
         dummy = jnp.zeros((1, 1, config.num_freqs, config.num_frames))
-        variables = self.model.init(jax.random.PRNGKey(seed), dummy,
-                                    jnp.ones_like(dummy), train=False)
+        variables = jit_init(lambda k: self.model.init(
+            k, dummy, jnp.ones_like(dummy), train=False))(
+            jax.random.PRNGKey(seed))
         tx = make_optimizer(config.learning_rate, config.betas,
                             clip_norm=config.clip_grad_norm)
         self.state = create_train_state(variables["params"], tx,

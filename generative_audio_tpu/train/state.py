@@ -15,7 +15,20 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-__all__ = ["TrainState", "create_train_state", "make_optimizer"]
+__all__ = ["TrainState", "create_train_state", "make_optimizer",
+           "jit_init"]
+
+
+def jit_init(init_fn):
+    """jit a model.init for accelerator backends, keep it eager on CPU.
+
+    Eager init over the TPU tunnel is minutes-slow (one roundtrip per
+    primitive), so init MUST be jitted there; but XLA-compiling every init
+    graph on CPU costs tens of seconds per trainer construction, which
+    multiplies across the test suite. Dispatch on the backend once at
+    trainer-construction time.
+    """
+    return jax.jit(init_fn) if jax.default_backend() != "cpu" else init_fn
 
 
 class TrainState(struct.PyTreeNode):

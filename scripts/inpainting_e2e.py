@@ -1,0 +1,425 @@
+"""End-to-end inpainting pipeline evidence run.
+
+Reproduces the reference's de-facto acceptance harness
+(nppc_audio/inpainting/validator/validator_nppc_model.py:930-1027) as one
+driveable pipeline on real speech:
+
+    python scripts/inpainting_e2e.py corpus            # build FLAC corpus
+    python scripts/inpainting_e2e.py train-restoration # masked-MSE UNet (TPU)
+    python scripts/inpainting_e2e.py train-nppc        # PC-direction head (TPU)
+    python scripts/inpainting_e2e.py validate          # NPPCValidator + organize_jsons
+    python scripts/inpainting_e2e.py report            # REPORT.md + report.html
+
+Corpus: the 12 committed 16 kHz speech clips from the reference checkout
+(FullSubNet_plus/out_dir/enhanced_0194/*.wav) re-encoded as a
+LibriSpeech-layout FLAC corpus (speaker/chapter dirs + *.trans.txt) through
+the from-scratch encoder in tests/flac_writer.py, exercising the native C++
+FLAC decode path end to end. 10 files train / 2 files validation.
+
+All hyperparameters follow the reference's canonical inpainting config
+(inpainting/scripts/train/config/config.yaml): 2.044 s subsamples, 128 ms
+gap at 0.4 s, nfft 255 / hop 128 / win 255 => [F=128, T=256] spectrograms,
+Adam lr 1e-4 betas (0.5, 0.999); NPPC head n_dirs=5, second-moment grace
+500 (config_nppc.yaml). Batch size is 16 (not 128) because the demo corpus
+is 2 minutes of speech, not train-clean-360.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+REF_WAVS = Path("/root/reference/FullSubNet_plus/out_dir/enhanced_0194")
+CORPUS = REPO / "data" / "libri_demo"
+WORK = REPO / "data" / "inpainting_e2e"
+ARTIFACTS = REPO / "artifacts" / "inpainting_e2e"
+REST_CKPT = WORK / "ckpt_restoration"
+NPPC_CKPT = WORK / "ckpt_nppc"
+
+CHUNK_SECONDS = 3.2
+SR = 16000
+BATCH = 16
+N_TRAIN_POOL = 60          # distinct pre-staged device-resident batches
+N_VAL_POOL = 4
+
+
+# ----------------------------------------------------------------- corpus --
+def build_corpus():
+    from scipy.io import wavfile
+    from tests.flac_writer import flac_stream, _subframe_header
+
+    wavs = sorted(REF_WAVS.glob("*.wav"))
+    assert len(wavs) >= 12, f"expected reference wavs under {REF_WAVS}"
+    splits = {"train": wavs[:10], "val": wavs[10:12]}
+    chunk = int(CHUNK_SECONDS * SR)
+    for split, files in splits.items():
+        for spk, wav_path in enumerate(files):
+            sr, pcm = wavfile.read(wav_path)
+            assert sr == SR and pcm.dtype == np.int16
+            chap_dir = CORPUS / split / f"{spk:03d}" / "000"
+            chap_dir.mkdir(parents=True, exist_ok=True)
+            trans_lines = []
+            for ci, start in enumerate(range(0, len(pcm) - chunk + 1, chunk)):
+                seg = pcm[start:start + chunk].astype(np.int64)
+                frames = []
+                for fs in range(0, len(seg), 4096):
+                    block = seg[fs:fs + 4096]
+
+                    def make(block=block):
+                        def write(bw, bs):
+                            _subframe_header(bw, 1)   # verbatim subframe
+                            for s in block:
+                                bw.write_signed(int(s), 16)
+                        return write
+                    frames.append((len(block), 0, make()))
+                stem = f"{spk:03d}-000-{ci:04d}"
+                (chap_dir / f"{stem}.flac").write_bytes(
+                    flac_stream(frames, sr=SR, total=len(seg)))
+                trans_lines.append(f"{stem} SPEECH SEGMENT {ci}")
+            (chap_dir / f"{spk:03d}-000.trans.txt").write_text(
+                "\n".join(trans_lines) + "\n")
+        n = len(list((CORPUS / split).rglob("*.flac")))
+        print(f"{split}: {n} FLAC utterances")
+
+
+# ------------------------------------------------------------------- data --
+def dataset_config(split: str, seed=None):
+    from generative_audio_tpu.data import AudioInpaintingConfig
+    from generative_audio_tpu.data.inpainting_dataset import StftSettings
+    return AudioInpaintingConfig(
+        clean_path=str(CORPUS / split),
+        sample_rate=SR,
+        missing_length_seconds=0.128,
+        missing_start_seconds=0.4,
+        sub_sample_length_seconds=2.044,
+        target_dB_FS=-25.0,
+        stft_configuration=StftSettings(nfft=255, hop_length=128,
+                                        win_length=255),
+        seed=seed,
+    )
+
+
+def stage_batches(split: str, n_batches: int, seed: int):
+    """Draw n_batches x BATCH random subsamples on the CPU backend and stack
+    them — staged once to the accelerator by the caller. Returns a list of
+    (masked_stft, mask_frames, clean_stft) numpy batches."""
+    import jax
+    from generative_audio_tpu.data import AudioInpaintingDataset
+    cpu = jax.devices("cpu")[0]
+    ds = AudioInpaintingDataset(dataset_config(split, seed=None))
+    rng = np.random.default_rng(seed)
+    batches = []
+    with jax.default_device(cpu):
+        for _ in range(n_batches):
+            items = [ds[int(rng.integers(0, len(ds)))] for _ in range(BATCH)]
+            batches.append((
+                np.stack([it.stft_masked for it in items]),
+                np.stack([it.mask_frames for it in items]),
+                np.stack([it.stft_clean for it in items])))
+    return batches
+
+
+class PoolLoader:
+    """Minimal loader over pre-staged device-resident batches."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def put_pool(batches):
+    import jax
+    return PoolLoader([jax.device_put(b) for b in batches])
+
+
+# ------------------------------------------------------------ restoration --
+def train_restoration(steps: int):
+    import jax
+    from generative_audio_tpu.train import (
+        RestorationTrainConfig, RestorationTrainer)
+
+    print(f"backend={jax.default_backend()}")
+    t0 = time.time()
+    train_pool = put_pool(stage_batches("train", N_TRAIN_POOL, seed=1))
+    val_pool = put_pool(stage_batches("val", N_VAL_POOL, seed=2))
+    print(f"staged {N_TRAIN_POOL}+{N_VAL_POOL} batches "
+          f"in {time.time() - t0:.1f}s")
+
+    cfg = RestorationTrainConfig(num_freqs=128, num_frames=256,
+                                 log_interval=100, save_interval=1000)
+    trainer = RestorationTrainer(cfg, checkpoint_dir=str(REST_CKPT))
+    t0 = time.time()
+    trainer.train(train_pool, n_steps=steps, val_loader=val_pool, log=print)
+    dt = time.time() - t0
+    final_val = trainer.validate(val_pool)
+    history = {
+        "train_loss": trainer.loss_history,
+        "val_loss": trainer.val_loss_history,
+        "final_val_loss": final_val,
+        "steps": steps,
+        "seconds": dt,
+        "ms_per_step": 1000 * dt / steps,
+        "backend": jax.default_backend(),
+    }
+    WORK.mkdir(parents=True, exist_ok=True)
+    (WORK / "restoration_history.json").write_text(
+        json.dumps(history, default=float))
+    print(f"restoration: {steps} steps in {dt:.0f}s "
+          f"({1000 * dt / steps:.0f} ms/step), final val masked-MSE "
+          f"{final_val:.5f}")
+
+
+# ------------------------------------------------------------------- nppc --
+def train_nppc(steps: int):
+    import jax
+    from generative_audio_tpu.train import (
+        RestorationTrainConfig, RestorationTrainer, CheckpointManager)
+    from generative_audio_tpu.train.nppc import (
+        NPPCInpaintingTrainConfig, NPPCInpaintingTrainer)
+    from generative_audio_tpu.models.nppc_model import (
+        UNetModelConfig, InpaintingNPPCConfig)
+    from generative_audio_tpu.models.pc_wrapper import (
+        AudioInpaintingPCWrapperConfig)
+
+    print(f"backend={jax.default_backend()}")
+    train_pool = put_pool(stage_batches("train", N_TRAIN_POOL, seed=3))
+    val_pool = put_pool(stage_batches("val", N_VAL_POOL, seed=4))
+
+    # restore the frozen restoration UNet
+    probe = RestorationTrainer(
+        RestorationTrainConfig(num_freqs=128, num_frames=256))
+    restored = CheckpointManager(str(REST_CKPT)).restore(
+        "latest", {"params": probe.state.params,
+                   "batch_stats": probe.state.batch_stats,
+                   "opt_state": probe.state.opt_state, "step": 0})
+    assert restored is not None, "run train-restoration first"
+    rest_vars = {"params": restored["params"],
+                 "batch_stats": restored["batch_stats"]}
+
+    cfg = NPPCInpaintingTrainConfig(
+        model=InpaintingNPPCConfig(
+            restoration=UNetModelConfig(1, 1, 0.2),
+            pc_wrapper=AudioInpaintingPCWrapperConfig(
+                in_channels=2, out_channels=5, n_dirs=5)),
+        num_freqs=128, num_frames=256,
+        second_moment_loss_grace=500, log_interval=100, save_interval=1000)
+    trainer = NPPCInpaintingTrainer(cfg, restoration_variables=rest_vars,
+                                    checkpoint_dir=str(NPPC_CKPT))
+    t0 = time.time()
+    trainer.train(train_pool, n_steps=steps, val_loader=val_pool, log=print)
+    dt = time.time() - t0
+    v_obj, v_rec = trainer.validate(val_pool)
+    history = {
+        "objective": trainer.loss_history,
+        "reconst_err": trainer.reconst_err_history,
+        "final_val_objective": v_obj,
+        "final_val_reconst_err": v_rec,
+        "steps": steps,
+        "seconds": dt,
+        "ms_per_step": 1000 * dt / steps,
+        "backend": jax.default_backend(),
+    }
+    (WORK / "nppc_history.json").write_text(json.dumps(history, default=float))
+    print(f"nppc: {steps} steps in {dt:.0f}s ({1000 * dt / steps:.0f} "
+          f"ms/step), final val reconst_err {v_rec:.5f}")
+
+
+# --------------------------------------------------------------- validate --
+def validate(n_samples: int):
+    import jax
+    import jax.numpy as jnp
+    from generative_audio_tpu.data import AudioInpaintingDataset
+    from generative_audio_tpu.train import (
+        RestorationTrainConfig, RestorationTrainer, CheckpointManager)
+    from generative_audio_tpu.train.nppc import (
+        NPPCInpaintingTrainConfig, NPPCInpaintingTrainer)
+    from generative_audio_tpu.models.nppc_model import (
+        UNetModelConfig, InpaintingNPPCConfig, InpaintingRestorationModel)
+    from generative_audio_tpu.models.pc_wrapper import (
+        AudioInpaintingPCWrapperConfig)
+    from generative_audio_tpu.eval import (
+        NPPCValidator, NPPCValidatorConfig)
+    from generative_audio_tpu.eval.nppc_validator import organize_jsons
+    from generative_audio_tpu.ops.preprocess import preprocess_data
+
+    cfg = NPPCInpaintingTrainConfig(
+        model=InpaintingNPPCConfig(
+            restoration=UNetModelConfig(1, 1, 0.2),
+            pc_wrapper=AudioInpaintingPCWrapperConfig(
+                in_channels=2, out_channels=5, n_dirs=5)),
+        num_freqs=128, num_frames=256)
+    trainer = NPPCInpaintingTrainer(cfg)
+    restored = CheckpointManager(str(NPPC_CKPT)).restore(
+        "latest", {"params": trainer.state.params,
+                   "batch_stats": trainer.state.batch_stats,
+                   "step": 0})
+    assert restored is not None, "run train-nppc first"
+    nppc_vars = {"params": restored["params"],
+                 "batch_stats": restored["batch_stats"]}
+
+    rest_model = InpaintingRestorationModel(cfg.model.restoration)
+    rest_vars = {
+        "params": nppc_vars["params"]["pretrained_restoration_model"],
+        "batch_stats":
+            nppc_vars["batch_stats"]["pretrained_restoration_model"]}
+
+    def nppc_apply(v, masked_norm, mask4):
+        return trainer.model.apply(v, masked_norm, mask4, train=False)
+
+    def rest_apply(v, masked_norm, mask4, rngs=None):
+        return rest_model.apply(v, masked_norm, mask4, train=False,
+                                mc_dropout=rngs is not None, rngs=rngs)
+
+    out_dir = ARTIFACTS / "validation"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    vcfg = NPPCValidatorConfig(save_dir=str(out_dir), n_mc_samples=50,
+                               n_components=5)
+    validator = NPPCValidator(nppc_apply, nppc_vars, rest_apply, rest_vars,
+                              vcfg)
+
+    ds = AudioInpaintingDataset(dataset_config("val", seed=123))
+    cpu = jax.devices("cpu")[0]
+    reports = []
+    for i in range(n_samples):
+        item = ds[i % len(ds)]
+        with jax.default_device(cpu):
+            clean_norm, mask4, masked_norm, mean, std = preprocess_data(
+                jnp.asarray(item.stft_clean[None]),
+                jnp.asarray(item.stft_masked[None]),
+                jnp.asarray(item.mask_frames[None]), return_stats=True)
+        clean_phase = np.arctan2(item.stft_clean[1], item.stft_clean[0])
+        # masked_audio has the gap zeroed; the validator splices its own
+        # reconstruction INTO the gap, so it is the right carrier clip
+        full_audio = np.asarray(item.masked_audio)[0]
+        report = validator.validate_sample(
+            masked_norm, mask4, clean_norm, sample_idx=i,
+            stats=(float(mean), float(std)), clean_phase=clean_phase,
+            full_audio=full_audio,
+            gap_bounds=(item.mask_start_idx, item.mask_end_idx),
+            make_plots=(i < 2), make_audio=(i < 2))
+        keep = {k: v for k, v in report.items() if k != "audio_variations"}
+        print(f"sample {i}: {json.dumps(keep, default=float)[:300]}")
+        reports.append(report)
+
+    df = organize_jsons(out_dir, output_path=out_dir / "nppc_vs_mc.png")
+    df.to_json(out_dir / "summary.json", orient="records", indent=2)
+    print(df.to_string())
+
+
+# ----------------------------------------------------------------- report --
+def report():
+    from generative_audio_tpu.utils.report import HTMLReport
+
+    rest = json.loads((WORK / "restoration_history.json").read_text())
+    nppc = json.loads((WORK / "nppc_history.json").read_text())
+    summary = json.loads(
+        (ARTIFACTS / "validation" / "summary.json").read_text())
+
+    rep = HTMLReport("Audio-inpainting NPPC end-to-end run")
+    rep.add_scalars("Restoration training", {
+        "steps": rest["steps"], "backend": rest["backend"],
+        "ms_per_step": rest["ms_per_step"],
+        "first-100-step masked MSE": float(np.mean(rest["train_loss"][:100])),
+        "last-100-step masked MSE": float(np.mean(rest["train_loss"][-100:])),
+        "final val masked MSE": rest["final_val_loss"]})
+    rep.add_curve("Restoration masked-MSE", {
+        "train": rest["train_loss"],
+        "val": np.asarray(rest["val_loss"], float)
+        if rest["val_loss"] else np.zeros((0, 2))}, logy=True)
+    rep.add_scalars("NPPC training", {
+        "steps": nppc["steps"], "backend": nppc["backend"],
+        "ms_per_step": nppc["ms_per_step"],
+        "first-100-step reconst_err":
+            float(np.mean(nppc["reconst_err"][:100])),
+        "last-100-step reconst_err":
+            float(np.mean(nppc["reconst_err"][-100:])),
+        "final val reconst_err": nppc["final_val_reconst_err"]})
+    rep.add_curve("NPPC reconst_err", {"train": nppc["reconst_err"]})
+    for row in summary:
+        rep.add_scalars(f"Validation {row['sample']}", row)
+    out = ARTIFACTS / "report.html"
+    rep.write(out)
+
+    lines = [
+        "# Audio-inpainting NPPC — end-to-end evidence run",
+        "",
+        f"Date: {time.strftime('%Y-%m-%d')}; "
+        f"backend: {rest['backend']}.",
+        "",
+        "Pipeline: LibriSpeech-style FLAC corpus (native C++ decode) -> "
+        "restoration UNet (masked MSE) -> 5-direction NPPC head -> "
+        "NPPCValidator (MC-dropout+PCA baseline, 50 passes) -> "
+        "organize_jsons. Reference harness: "
+        "inpainting/validator/validator_nppc_model.py:930-1027.",
+        "",
+        "## Training",
+        "",
+        "| stage | steps | ms/step | first-100 loss | last-100 loss | "
+        "final val |",
+        "|---|---|---|---|---|---|",
+        f"| restoration (masked MSE) | {rest['steps']} | "
+        f"{rest['ms_per_step']:.0f} | "
+        f"{np.mean(rest['train_loss'][:100]):.4f} | "
+        f"{np.mean(rest['train_loss'][-100:]):.4f} | "
+        f"{rest['final_val_loss']:.4f} |",
+        f"| NPPC (reconst_err) | {nppc['steps']} | "
+        f"{nppc['ms_per_step']:.0f} | "
+        f"{np.mean(nppc['reconst_err'][:100]):.4f} | "
+        f"{np.mean(nppc['reconst_err'][-100:]):.4f} | "
+        f"{nppc['final_val_reconst_err']:.4f} |",
+        "",
+        "## Validation (held-out files, NPPC vs MC-dropout+PCA)",
+        "",
+        "| sample | NPPC residual | MC residual | NPPC rmse | MC rmse | "
+        "min principal angle (deg) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for row in summary:
+        lines.append(
+            f"| {row['sample']} | {row['nppc_residual']:.4f} | "
+            f"{row['mc_residual']:.4f} | {row['nppc_rmse']:.4f} | "
+            f"{row['mc_rmse']:.4f} | {row['min_principal_angle']:.1f} |")
+    nppc_res = np.mean([r["nppc_residual"] for r in summary])
+    mc_res = np.mean([r["mc_residual"] for r in summary])
+    lines += [
+        "",
+        f"Mean residual error: NPPC {nppc_res:.4f} vs MC-dropout "
+        f"{mc_res:.4f} ({'NPPC <= MC' if nppc_res <= mc_res else 'MC < NPPC'}).",
+    ]
+    (ARTIFACTS / "REPORT.md").write_text("\n".join(lines) + "\n")
+    print((ARTIFACTS / "REPORT.md").read_text())
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("stage", choices=[
+        "corpus", "train-restoration", "train-nppc", "validate", "report"])
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--samples", type=int, default=6)
+    args = parser.parse_args()
+    if args.stage == "corpus":
+        build_corpus()
+    elif args.stage == "train-restoration":
+        train_restoration(args.steps or 3000)
+    elif args.stage == "train-nppc":
+        train_nppc(args.steps or 2000)
+    elif args.stage == "validate":
+        validate(args.samples)
+    elif args.stage == "report":
+        report()
+
+
+if __name__ == "__main__":
+    main()
