@@ -1,0 +1,296 @@
+"""Enhancement-line quality evidence run: FullSubNet+ trained on DNS-style
+synthetic mixtures of real speech to a recorded SI-SDR/STOI table.
+
+Reproduces the reference Trainer_Finetune acceptance loop
+(fullsubnet_plus/trainer/trainer.py:309-446): epoch training, periodic
+composite-score validation, best-model checkpointing, tracker + HTML report.
+
+    python scripts/enhance_quality_run.py corpus
+    python scripts/enhance_quality_run.py train [--epochs 40]
+    python scripts/enhance_quality_run.py report
+
+Corpus: the 12 committed 16 kHz speech clips from the reference checkout
+(FullSubNet_plus/out_dir/enhanced_0194) — 10 speakers train / 2 held out —
+mixed on the fly with a 9-type synthetic noise bank (white/pink/brown,
+50 Hz hum stacks, band noise, babble built from OTHER train speakers).
+Validation pairs are fixed files at SNR {0, 5} dB mixed with HELD-OUT
+noise types, so the eval distribution is never seen in training.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+REF_WAVS = Path("/root/reference/FullSubNet_plus/out_dir/enhanced_0194")
+ROOT = REPO / "data" / "enhance_quality"
+ARTIFACTS = REPO / "artifacts" / "enhance_quality"
+CKPT = ROOT / "ckpt"
+SR = 16000
+
+
+# ----------------------------------------------------------------- corpus --
+def _noise_bank(rng, n_seconds=10.0, train_speech=None):
+    """DNS-style noise family. Returns {name: waveform}."""
+    n = int(n_seconds * SR)
+    t = np.arange(n) / SR
+    out = {}
+    out["white"] = rng.standard_normal(n)
+    # pink/brown via FFT 1/f^alpha shaping
+    for name, alpha in [("pink", 1.0), ("brown", 2.0)]:
+        spec = np.fft.rfft(rng.standard_normal(n))
+        f = np.fft.rfftfreq(n, 1 / SR)
+        f[0] = f[1]
+        out[name] = np.fft.irfft(spec / f ** (alpha / 2), n)
+    # mains hum + harmonics over a noise floor
+    hum = sum(np.sin(2 * np.pi * 50 * k * t + rng.random() * 6.28) / k
+              for k in range(1, 6))
+    out["hum"] = hum + 0.1 * rng.standard_normal(n)
+    # narrow-band noise (band-passed white, 300-1200 Hz)
+    spec = np.fft.rfft(rng.standard_normal(n))
+    f = np.fft.rfftfreq(n, 1 / SR)
+    spec[(f < 300) | (f > 1200)] = 0
+    out["band"] = np.fft.irfft(spec, n)
+    # babble: overlapping shifted copies of other train speakers
+    if train_speech is not None and len(train_speech) >= 3:
+        bab = np.zeros(n)
+        for k in range(6):
+            src = train_speech[int(rng.integers(0, len(train_speech)))]
+            start = int(rng.integers(0, max(1, len(src) - n)))
+            seg = src[start:start + n]
+            bab[:len(seg)] += seg * (0.5 + rng.random())
+        out["babble"] = bab
+    # amplitude-modulated white (machinery-like)
+    out["machine"] = (rng.standard_normal(n)
+                      * (0.5 + 0.5 * np.sin(2 * np.pi * 7.3 * t)))
+    # impulsive clicks over a floor
+    clicks = np.zeros(n)
+    for pos in rng.integers(0, n, 40):
+        clicks[pos:pos + 40] += rng.standard_normal(40) * 4
+    out["clicks"] = clicks + 0.1 * rng.standard_normal(n)
+    # chirps
+    out["chirp"] = np.sin(2 * np.pi * (200 + 1800 * (t % 1.0)) * t) \
+        + 0.1 * rng.standard_normal(n)
+    return {k: (0.2 * v / (np.abs(v).max() + 1e-9)).astype(np.float32)
+            for k, v in out.items()}
+
+
+def build_corpus():
+    from scipy.io import wavfile
+    from generative_audio_tpu.data.audio_io import write_wav
+    from generative_audio_tpu.ops.waveform import tailor_dB_FS
+
+    rng = np.random.default_rng(0)
+    wavs = sorted(REF_WAVS.glob("*.wav"))
+    assert len(wavs) >= 12
+    train_wavs, val_wavs = wavs[:10], wavs[10:12]
+
+    train_speech = []
+    clean_dir = ROOT / "train" / "clean"
+    clean_dir.mkdir(parents=True, exist_ok=True)
+    chunk = 5 * SR
+    for i, p in enumerate(train_wavs):
+        sr, pcm = wavfile.read(p)
+        x = (pcm / 32768.0).astype(np.float32)
+        train_speech.append(x)
+        for ci, s in enumerate(range(0, len(x) - chunk + 1, chunk)):
+            write_wav(clean_dir / f"spk{i:02d}_{ci}.wav", x[s:s + chunk], SR)
+
+    bank = _noise_bank(rng, train_speech=train_speech)
+    train_noise = {k: v for k, v in bank.items()
+                   if k in ("white", "pink", "hum", "band", "babble",
+                            "machine")}
+    val_noise = {k: v for k, v in bank.items()
+                 if k in ("brown", "clicks", "chirp")}
+    noise_dir = ROOT / "train" / "noise"
+    noise_dir.mkdir(parents=True, exist_ok=True)
+    for k, v in train_noise.items():
+        write_wav(noise_dir / f"{k}.wav", v, SR)
+
+    # fixed validation pairs: held-out speakers x held-out noise x SNR {0,5}
+    val_dir = ROOT / "val"
+    (val_dir / "noisy").mkdir(parents=True, exist_ok=True)
+    (val_dir / "clean").mkdir(parents=True, exist_ok=True)
+    idx = 0
+    for p in val_wavs:
+        sr, pcm = wavfile.read(p)
+        x = (pcm / 32768.0).astype(np.float32)
+        for s in range(0, len(x) - chunk + 1, chunk):
+            clean = x[s:s + chunk]
+            clean, *_ = tailor_dB_FS(clean, -25.0)
+            for snr in (0.0, 5.0):
+                nkey = list(val_noise)[idx % len(val_noise)]
+                nz = val_noise[nkey]
+                start = int(rng.integers(0, len(nz) - chunk + 1))
+                nz = nz[start:start + chunk].copy()
+                nz, *_ = tailor_dB_FS(nz, -25.0)
+                clean_rms = np.sqrt(np.mean(clean ** 2))
+                noise_rms = np.sqrt(np.mean(nz ** 2))
+                gain = clean_rms / (noise_rms * 10 ** (snr / 20) + 1e-9)
+                noisy = clean + gain * nz
+                peak = np.abs(noisy).max()
+                if peak > 0.99:
+                    clean, noisy = clean * 0.99 / peak, noisy * 0.99 / peak
+                write_wav(val_dir / "noisy" / f"v{idx:03d}.wav", noisy, SR)
+                write_wav(val_dir / "clean" / f"v{idx:03d}.wav", clean, SR)
+                idx += 1
+    print(f"train clean: {len(list(clean_dir.glob('*.wav')))}, "
+          f"noise: {len(train_noise)}, val pairs: {idx}")
+
+
+# ------------------------------------------------------------------ train --
+class PairFileDataset:
+    """Fixed (noisy, clean) wav pairs for deterministic validation."""
+
+    def __init__(self, root: Path):
+        from generative_audio_tpu.data.audio_io import load_audio
+        self._load = load_audio
+        self.noisy = sorted((root / "noisy").glob("*.wav"))
+        self.clean = sorted((root / "clean").glob("*.wav"))
+        assert len(self.noisy) == len(self.clean) > 0
+
+    def __len__(self):
+        return len(self.noisy)
+
+    def __getitem__(self, i):
+        return (self._load(self.noisy[i], SR), self._load(self.clean[i], SR))
+
+
+class RepeatLoader:
+    """Re-draws the underlying dynamic-mixing loader k times per epoch (the
+    12-file demo corpus gives tiny epochs; every pass remixes fresh noise,
+    SNR and offsets, so repeats are new samples, not duplicates)."""
+
+    def __init__(self, loader, k: int):
+        self.loader, self.k = loader, k
+
+    def __iter__(self):
+        for _ in range(self.k):
+            yield from self.loader
+
+    def __len__(self):
+        return self.k * len(self.loader)
+
+
+def train(epochs: int):
+    import jax
+    from generative_audio_tpu.data import (
+        AudioDataset, AudioDataSetConfig, BatchLoader)
+    from generative_audio_tpu.train import EnhanceTrainConfig, EnhanceTrainer
+    from generative_audio_tpu.utils.tracking import ExperimentTracker
+
+    print(f"backend={jax.default_backend()}")
+    cfg = EnhanceTrainConfig()       # full-size FullSubNet+ (512/384, G=2)
+    dataset = AudioDataset(AudioDataSetConfig(
+        clean_path=str(ROOT / "train" / "clean"),
+        noisy_path=str(ROOT / "train" / "noise"),
+        sub_sample_length_seconds=3.072, snr_range=(-5, 20),
+        target_dB_FS=-25.0, target_dB_FS_floating_value=10.0), seed=1)
+    loader = RepeatLoader(
+        BatchLoader(dataset, global_batch_size=18, num_workers=8, seed=2),
+        k=20)
+    val_ds = PairFileDataset(ROOT / "val")
+
+    tracker = ExperimentTracker(str(ARTIFACTS / "runs"), "enhance_quality")
+    trainer = EnhanceTrainer(cfg, checkpoint_dir=str(CKPT), tracker=tracker)
+
+    t0 = time.time()
+    trainer.train(loader, epochs=epochs, val_dataset=val_ds,
+                  validation_interval=2, log=print)
+    dt = time.time() - t0
+    steps = int(trainer.state.step)
+
+    # final full validation with the BEST params restored
+    from generative_audio_tpu.train.checkpoint import CheckpointManager
+    best = CheckpointManager(str(CKPT)).restore(
+        "best", {"params": trainer.state.params})
+    if best is not None:
+        trainer.state = trainer.state.replace(params=best["params"])
+    final = trainer.validate(val_ds, max_items=len(val_ds))
+
+    # noisy baseline on the same pairs
+    from generative_audio_tpu.eval.metrics import SI_SDR, STOI
+    base_sisdr, base_stoi = [], []
+    for i in range(len(val_ds)):
+        noisy, clean = val_ds[i]
+        base_sisdr.append(SI_SDR(clean, noisy))
+        base_stoi.append(STOI(clean, noisy))
+    summary = {
+        "epochs": epochs, "steps": steps, "seconds": dt,
+        "ms_per_step": 1000 * dt / max(steps, 1),
+        "backend": jax.default_backend(),
+        "loss_first_epoch": trainer.loss_history[0],
+        "loss_last_epoch": trainer.loss_history[-1],
+        "best_composite": trainer.best_score,
+        "val_history": trainer.val_history,
+        "final_best_model": final,
+        "noisy_baseline": {"SI_SDR": float(np.mean(base_sisdr)),
+                           "STOI": float(np.mean(base_stoi))},
+    }
+    ARTIFACTS.mkdir(parents=True, exist_ok=True)
+    (ARTIFACTS / "training_summary.json").write_text(
+        json.dumps(summary, indent=2, default=float))
+    print(json.dumps(summary, indent=2, default=float))
+
+
+# ----------------------------------------------------------------- report --
+def report():
+    s = json.loads((ARTIFACTS / "training_summary.json").read_text())
+    fin, base = s["final_best_model"], s["noisy_baseline"]
+    lines = [
+        "# FullSubNet+ enhancement — on-chip quality run",
+        "",
+        f"Date: {time.strftime('%Y-%m-%d')}; backend: {s['backend']}; "
+        f"full-size model (512/384 hidden, F=257, drop_band G=2), "
+        f"bf16 compute.",
+        "",
+        "Training: DNS-style dynamic mixing (real speech x 6 synthetic "
+        "noise types, SNR -5..20 dB, dBFS jitter ±10); validation on fixed "
+        "held-out-speaker x held-out-noise pairs at SNR {0, 5} dB. "
+        "Best model selected by composite_validation_score "
+        "(STOI; PESQ wheel absent from image). Reference loop: "
+        "fullsubnet_plus/trainer/trainer.py:309-446.",
+        "",
+        f"{s['epochs']} epochs / {s['steps']} steps in "
+        f"{s['seconds'] / 60:.1f} min ({s['ms_per_step']:.0f} ms/step, "
+        f"batch 18 x 3.072 s).",
+        "",
+        "| metric | noisy input | enhanced (best ckpt) | delta |",
+        "|---|---|---|---|",
+        f"| SI-SDR (dB) | {base['SI_SDR']:.2f} | {fin['SI_SDR']:.2f} | "
+        f"+{fin['SI_SDR'] - base['SI_SDR']:.2f} |",
+        f"| STOI | {base['STOI']:.4f} | {fin['STOI']:.4f} | "
+        f"{fin['STOI'] - base['STOI']:+.4f} |",
+        "",
+        "Composite-score trajectory (step, score): "
+        + ", ".join(f"({int(st)}, {sc:.4f})" for st, sc in s["val_history"]),
+        "",
+        f"cIRM-MSE train loss: {s['loss_first_epoch']:.5f} (epoch 1) -> "
+        f"{s['loss_last_epoch']:.5f} (epoch {s['epochs']}).",
+    ]
+    (ARTIFACTS / "REPORT.md").write_text("\n".join(lines) + "\n")
+    print((ARTIFACTS / "REPORT.md").read_text())
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("stage", choices=["corpus", "train", "report"])
+    parser.add_argument("--epochs", type=int, default=40)
+    args = parser.parse_args()
+    if args.stage == "corpus":
+        build_corpus()
+    elif args.stage == "train":
+        train(args.epochs)
+    else:
+        report()
+
+
+if __name__ == "__main__":
+    main()
