@@ -44,13 +44,21 @@ class DenoisingNPPCValidator:
         self.crm_apply = crm_apply
         self.variables = variables
         self.config = config
+        import jax
+
+        def _enhance_device(crm_bft2, noisy_real, noisy_imag, length):
+            c = self.config
+            crm = decompress_cIRM(crm_bft2)
+            er, ei = apply_crm(crm, noisy_real, noisy_imag)
+            return istft_ri(er, ei, c.nfft, c.hop_length, c.win_length,
+                            length=length)
+        # one jitted program, reused across the (pc, alpha) grid — eager
+        # per-variation evaluation is tunnel-roundtrip-bound on TPU
+        self._enhance_jit = jax.jit(_enhance_device, static_argnums=3)
 
     def _enhance(self, crm_bft2, noisy_real, noisy_imag, length):
-        c = self.config
-        crm = decompress_cIRM(crm_bft2)
-        er, ei = apply_crm(crm, noisy_real, noisy_imag)
-        return np.asarray(istft_ri(er, ei, c.nfft, c.hop_length,
-                                   c.win_length, length=length))
+        return np.asarray(self._enhance_jit(crm_bft2, noisy_real, noisy_imag,
+                                            length))
 
     def validate_sample(self, noisy_waveform: np.ndarray,
                         clean_waveform: Optional[np.ndarray] = None,

@@ -118,6 +118,7 @@ class NPPCValidator:
         self.config = config
         self.transcribe_fn = transcribe_fn
         self.phoneme_fn = phoneme_fn
+        self._device_fn = None   # lazily built ONE jitted program per shape
 
     # -------------------------------------------------------------- core ---
     def validate_sample(self, masked_log_mag, mask4, clean_log_mag,
@@ -134,16 +135,27 @@ class NPPCValidator:
         import jax
         rng = rng if rng is not None else jax.random.PRNGKey(sample_idx)
 
-        pc_dirs = np.asarray(self.nppc_apply(
-            self.nppc_variables, masked_log_mag, mask4))      # [1, K, F, T]
-        pred = np.asarray(self.restoration_apply(
-            self.restoration_variables, masked_log_mag, mask4))
+        if self._device_fn is None:
+            # All device math in ONE jitted program: eager evaluation here
+            # (especially the 50 MC-dropout passes) is a tunnel roundtrip
+            # per primitive on TPU — minutes per sample.
+            def device_fn(nppc_vars, rest_vars, masked, mask, key):
+                pc = self.nppc_apply(nppc_vars, masked, mask)
+                pr = self.restoration_apply(rest_vars, masked, mask)
+                base = calculate_unet_baseline(
+                    lambda v, x, m, rngs: self.restoration_apply(
+                        v, x, m, rngs=rngs),
+                    rest_vars, masked, mask, key,
+                    n_mc_samples=self.config.n_mc_samples,
+                    n_components=self.config.n_components)
+                return pc, pr, base
+            self._device_fn = jax.jit(device_fn)
 
-        baseline = calculate_unet_baseline(
-            lambda v, x, m, rngs: self.restoration_apply(v, x, m, rngs=rngs),
-            self.restoration_variables, masked_log_mag, mask4, rng,
-            n_mc_samples=self.config.n_mc_samples,
-            n_components=self.config.n_components)
+        pc_dirs, pred, baseline = self._device_fn(
+            self.nppc_variables, self.restoration_variables,
+            masked_log_mag, mask4, rng)
+        pc_dirs = np.asarray(pc_dirs)                         # [1, K, F, T]
+        pred = np.asarray(pred)
 
         metrics = compute_metrics(
             pc_dirs, np.asarray(baseline["principal_components"]),
