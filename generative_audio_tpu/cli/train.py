@@ -50,6 +50,8 @@ def main(argv=None):
             dataset = AudioDataset(build_dataclass(AudioDataSetConfig, data_cfg))
         loader = BatchLoader(dataset, **{"global_batch_size": 18, **loader_cfg})
         trainer = T.EnhanceTrainer(cfg, checkpoint_dir=checkpoint_dir)
+        if args.resume:
+            trainer.restore_latest()
         trainer.train(loader, epochs=args.epochs or 1, log=log)
 
     elif line == "restoration":
@@ -95,6 +97,8 @@ def main(argv=None):
         trainer = T.NPPCInpaintingTrainer(
             cfg, restoration_variables=restoration_vars,
             checkpoint_dir=checkpoint_dir)
+        if args.resume:
+            trainer.restore_latest()
         trainer.train(loader, n_steps=args.steps, n_epochs=args.epochs,
                       log=log)
 
@@ -105,6 +109,8 @@ def main(argv=None):
         dataset = AudioDataset(build_dataclass(AudioDataSetConfig, data_cfg))
         loader = BatchLoader(dataset, **{"global_batch_size": 8, **loader_cfg})
         trainer = T.NPPCDenoisingTrainer(cfg, checkpoint_dir=checkpoint_dir)
+        if args.resume:
+            trainer.restore_latest()
         trainer.train(loader, n_steps=args.steps, n_epochs=args.epochs,
                       log=log)
 

@@ -19,6 +19,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from generative_audio_tpu.models.fullsubnet_plus import (
     FullSubNetPlus, FullSubNetPlusConfig)
@@ -205,12 +206,15 @@ class EnhanceTrainer:
         self.tracker = tracker  # utils.tracking.ExperimentTracker or None
 
     def train_epoch(self, loader, log=print) -> float:
-        total, n = 0.0, 0
+        # Defer the loss fetches to the end of the epoch: a float(loss) per
+        # step is a blocking device sync (a tunnel roundtrip on TPU) that
+        # serializes dispatch; keeping losses on-device lets XLA pipeline
+        # the steps and costs one bulk fetch per epoch.
+        losses = []
         for noisy, clean in loader:
             self.state, loss = self._step_fn(self.state, noisy, clean)
-            total += float(loss)
-            n += 1
-        avg = total / max(n, 1)
+            losses.append(loss)
+        avg = float(np.mean([float(l) for l in losses])) if losses else 0.0
         self.loss_history.append(avg)
         if self.tracker is not None:
             self.tracker.log({"train_loss": avg}, step=int(self.state.step))
@@ -247,7 +251,9 @@ class EnhanceTrainer:
             if self.ckpt:
                 tree = {"params": self.state.params,
                         "opt_state": self.state.opt_state,
-                        "step": step}
+                        "step": step,
+                        "best_score": np.asarray(
+                            self.best_score, np.float32)}
                 self.ckpt.save_latest(tree, step)
                 self.ckpt.save_step(tree, step)
             if val_dataset is not None and epoch % validation_interval == 0:
@@ -271,3 +277,23 @@ class EnhanceTrainer:
                 self.loss_history, self.val_history,
                 {"best_composite": self.best_score,
                  "steps": int(self.state.step)})
+
+    def restore_latest(self) -> bool:
+        """Resume from the latest checkpoint — the reference's `-R` flag
+        (base_trainer.py:129-158: restores epoch/step, best_score and
+        optimizer state). partial=True tolerates checkpoints written
+        before best_score was added to the tree."""
+        if not self.ckpt:
+            return False
+        tree = {"params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": np.asarray(0),
+                "best_score": np.asarray(self.best_score, np.float32)}
+        restored = self.ckpt.restore("latest", tree, partial=True)
+        if restored is None:
+            return False
+        self.state = self.state.replace(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"]))
+        self.best_score = float(restored["best_score"])
+        return True

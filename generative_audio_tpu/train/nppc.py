@@ -206,24 +206,32 @@ class NPPCInpaintingTrainer:
               n_epochs: Optional[int] = None, val_loader=None, log=print):
         from generative_audio_tpu.data.loader import LoopIterator
         loop = LoopIterator(loader, n_steps=n_steps, n_epochs=n_epochs)
+        # Metrics stay on-device between log points (see restoration.py:
+        # a per-step float() sync serializes dispatch over the tunnel).
+        pending = []
+        step = int(self.state.step)
         for batch in loop:
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, obj, reconst = self._step_fn(
                 self.state, step_rng, (batch[0], batch[1], batch[2]))
-            self.loss_history.append(float(obj))
-            self.reconst_err_history.append(float(reconst))
-            step = int(self.state.step)
+            pending.append((obj, reconst))
+            step += 1
             if step % self.config.log_interval == 0:
-                msg = (f"step {step}: objective={float(obj):.5f} "
-                       f"reconst_err={float(reconst):.5f}")
+                self.loss_history.extend(float(o) for o, _ in pending)
+                self.reconst_err_history.extend(float(r) for _, r in pending)
+                pending = []
+                msg = (f"step {step}: objective={self.loss_history[-1]:.5f} "
+                       f"reconst_err={self.reconst_err_history[-1]:.5f}")
                 if val_loader is not None:
                     v_obj, v_rec = self.validate(val_loader)
                     msg += f" val={v_obj:.5f}/{v_rec:.5f}"
                 log(msg)
             if self.ckpt and step % self.config.save_interval == 0:
                 self._save(step)
+        self.loss_history.extend(float(o) for o, _ in pending)
+        self.reconst_err_history.extend(float(r) for _, r in pending)
         if self.ckpt:
-            self._save(int(self.state.step), final=True)
+            self._save(step, final=True)
         return self.loss_history
 
     def validate(self, val_loader):
@@ -237,6 +245,7 @@ class NPPCInpaintingTrainer:
     def _save(self, step: int, final: bool = False):
         tree = {"params": self.state.params,
                 "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
                 "step": np.asarray(step)}
         self.ckpt.save_latest(tree, step)
         if final:
@@ -247,6 +256,24 @@ class NPPCInpaintingTrainer:
                  "timestamp": ts, "total_steps": step,
                  "final_loss": self.loss_history[-1]
                  if self.loss_history else None}, indent=4))
+
+    def restore_latest(self) -> bool:
+        """Resume from the latest checkpoint (`-R`); partial=True tolerates
+        checkpoints written before opt_state joined the tree."""
+        if not self.ckpt:
+            return False
+        tree = {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "step": np.asarray(0)}
+        restored = self.ckpt.restore("latest", tree, partial=True)
+        if restored is None:
+            return False
+        self.state = self.state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"]))
+        return True
 
 
 # -------------------------------------------------------------- denoising --
@@ -318,16 +345,39 @@ class NPPCDenoisingTrainer:
               n_epochs: Optional[int] = None, log=print):
         from generative_audio_tpu.data.loader import LoopIterator
         loop = LoopIterator(loader, n_steps=n_steps, n_epochs=n_epochs)
+        # on-device metrics between log points (see NPPCInpaintingTrainer)
+        pending = []
+        step = int(self.state.step)
         for batch in loop:
             self.state, obj, reconst = self._step_fn(
                 self.state, (batch[0], batch[1]))
-            self.loss_history.append(float(obj))
-            step = int(self.state.step)
+            pending.append((obj, reconst))
+            step += 1
             if step % self.config.log_interval == 0:
-                log(f"step {step}: objective={float(obj):.5f} "
-                    f"reconst_err={float(reconst):.5f}")
+                self.loss_history.extend(float(o) for o, _ in pending)
+                last_reconst = float(pending[-1][1])
+                pending = []
+                log(f"step {step}: objective={self.loss_history[-1]:.5f} "
+                    f"reconst_err={last_reconst:.5f}")
             if self.ckpt and step % self.config.save_interval == 0:
                 self.ckpt.save_latest(
                     {"params": self.state.params,
+                     "opt_state": self.state.opt_state,
                      "step": np.asarray(step)}, step)
+        self.loss_history.extend(float(o) for o, _ in pending)
         return self.loss_history
+
+    def restore_latest(self) -> bool:
+        """Resume from the latest checkpoint (`-R`)."""
+        if not self.ckpt:
+            return False
+        tree = {"params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": np.asarray(0)}
+        restored = self.ckpt.restore("latest", tree, partial=True)
+        if restored is None:
+            return False
+        self.state = self.state.replace(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"]))
+        return True

@@ -93,16 +93,22 @@ class RestorationTrainer:
               n_epochs: Optional[int] = None, val_loader=None, log=print):
         from generative_audio_tpu.data.loader import LoopIterator
         loop = LoopIterator(loader, n_steps=n_steps, n_epochs=n_epochs)
+        # Losses stay on-device between log points: a float(loss) (or
+        # int(state.step)) per step is a blocking sync — a tunnel roundtrip
+        # on TPU — that serializes dispatch. Bulk-fetch at log_interval.
+        pending = []
+        step = int(self.state.step)
         for batch in loop:
             masked_spec, mask_frames, clean_spec = batch[0], batch[1], batch[2]
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, loss = self._step_fn(
                 self.state, step_rng, (masked_spec, mask_frames, clean_spec))
-            loss = float(loss)
-            self.loss_history.append(loss)
-            step = int(self.state.step)
+            pending.append(loss)
+            step += 1
             if step % self.config.log_interval == 0:
-                msg = f"step {step}: loss={loss:.5f}"
+                self.loss_history.extend(float(l) for l in pending)
+                pending = []
+                msg = f"step {step}: loss={self.loss_history[-1]:.5f}"
                 if val_loader is not None:
                     val = self.validate(val_loader)
                     self.val_loss_history.append((step, val))
@@ -110,8 +116,9 @@ class RestorationTrainer:
                 log(msg)
             if self.ckpt and step % self.config.save_interval == 0:
                 self._save(step)
+        self.loss_history.extend(float(l) for l in pending)
         if self.ckpt:
-            self._save(int(self.state.step), final=True)
+            self._save(step, final=True)
         return self.loss_history
 
     def validate(self, val_loader) -> float:

@@ -267,3 +267,48 @@ def test_nppc_inpainting_mc_pca_aligned_variant(rng):
                     jax.tree.leaves(
                         trainer.state.params["pretrained_restoration_model"])):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_enhance_trainer_resume(tmp_path, rng):
+    """restore_latest round-trips step, optimizer state and best_score —
+    the reference's -R resume (base_trainer.py:129-158)."""
+    cfg = _enhance_cfg()
+    trainer = T.EnhanceTrainer(cfg, checkpoint_dir=tmp_path / "ckpt")
+    clean = rng.standard_normal((4, 2048)).astype(np.float32)
+    noisy = clean + 0.3 * rng.standard_normal((4, 2048)).astype(np.float32)
+    trainer.best_score = 0.5
+    trainer.train([(noisy, clean)] * 3, epochs=1, log=lambda *a: None)
+
+    fresh = T.EnhanceTrainer(cfg, checkpoint_dir=tmp_path / "ckpt")
+    assert int(fresh.state.step) == 0
+    assert fresh.restore_latest()
+    assert int(fresh.state.step) == 3
+    assert fresh.best_score == 0.5
+    # restored params match the trained ones
+    a = jax.tree_util.tree_leaves(trainer.state.params)
+    b = jax.tree_util.tree_leaves(fresh.state.params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_nppc_inpainting_trainer_resume(tmp_path, rng):
+    from generative_audio_tpu.models.nppc_model import (
+        UNetModelConfig as UC, InpaintingNPPCConfig)
+    from generative_audio_tpu.models.pc_wrapper import (
+        AudioInpaintingPCWrapperConfig)
+    cfg = T.NPPCInpaintingTrainConfig(
+        model=InpaintingNPPCConfig(
+            restoration=UC(1, 1, 0.2),
+            pc_wrapper=AudioInpaintingPCWrapperConfig(
+                in_channels=2, out_channels=3, n_dirs=3)),
+        num_freqs=32, num_frames=64, second_moment_loss_grace=10,
+        log_interval=100, save_interval=100)
+    trainer = T.NPPCInpaintingTrainer(cfg, checkpoint_dir=tmp_path / "n")
+    batch = _inpaint_batch(rng)
+    trainer.train([batch] * 2, n_steps=4, log=lambda *a: None)
+
+    fresh = T.NPPCInpaintingTrainer(cfg, checkpoint_dir=tmp_path / "n")
+    assert fresh.restore_latest()
+    assert int(fresh.state.step) == 4
+    a = jax.tree_util.tree_leaves(trainer.state.opt_state)
+    b = jax.tree_util.tree_leaves(fresh.state.opt_state)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
