@@ -36,8 +36,12 @@ def gram_schmidt(x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
     for i in range(n_dirs):
         w = x[:, i, :]
         for w2 in proj_vecs:
-            # <w, w2> with conjugation for complex inputs.
-            inner = jnp.sum(jnp.conj(w) * w2, axis=-1, keepdims=True)
+            # coefficient <w2, w> = sum(conj(w2) * w): the conjugate MUST
+            # sit on the (unit) basis vector so that <w2, w'> == 0 after
+            # the update. For real inputs this equals the reference's form;
+            # for complex inputs the reference conjugates the wrong side
+            # (see gram_schmidt_to_crm below).
+            inner = jnp.sum(jnp.conj(w2) * w, axis=-1, keepdims=True)
             w = w - w2 * inner
         w_detached = jax.lax.stop_gradient(w)
         norm = jnp.linalg.norm(w_detached, axis=-1, keepdims=True) + eps
@@ -59,9 +63,17 @@ def gram_schmidt_to_crm(x: jnp.ndarray) -> jnp.ndarray:
     computed entirely in real (real, imag) pair arithmetic — the axon TPU
     backend has no complex dtype support.
 
-    Replicates the reference's coefficient convention exactly:
-    w <- w - w2 * sum(conj(w) * w2)  (nppc_audio/pc_wrapper.py:8-44; note the
-    conjugate is on w, not w2 — the conjugate of the textbook coefficient).
+    DELIBERATE DIVERGENCE from the reference: nppc_audio/pc_wrapper.py:8-44
+    computes the coefficient as sum(w.conj() * w2) — conjugate on the vector
+    being orthogonalized instead of on the unit basis w2. With that
+    convention <w2, w'> = inner - conj(inner) = 2i*Im<w, w2> != 0, so the
+    reference's "orthogonalized" cRM directions are NOT orthogonal (only the
+    real part of the overlap is removed), Sum|<w_hat_i, e>|^2 can exceed 1,
+    and the NPPC reconst_err objective can be gamed below 0 by emitting
+    near-parallel directions (observed: training collapses all directions
+    onto the error). We implement the textbook coefficient
+    sum(conj(w2) * w), which gives exact complex orthogonality and reduces
+    to the reference's arithmetic for real inputs.
     """
     b, n_dirs, _, f, t = x.shape
     xr = x[:, :, 0].reshape(b, n_dirs, -1)
@@ -72,9 +84,9 @@ def gram_schmidt_to_crm(x: jnp.ndarray) -> jnp.ndarray:
     for i in range(n_dirs):
         wr, wi = xr[:, i, :], xi[:, i, :]
         for (pr, pi) in proj_vecs:
-            # inner = sum(conj(w) * w2) = sum((wr - i wi)(pr + i pi))
-            inner_r = jnp.sum(wr * pr + wi * pi, axis=-1, keepdims=True)
-            inner_i = jnp.sum(wr * pi - wi * pr, axis=-1, keepdims=True)
+            # inner = sum(conj(w2) * w) = sum((pr - i pi)(wr + i wi))
+            inner_r = jnp.sum(pr * wr + pi * wi, axis=-1, keepdims=True)
+            inner_i = jnp.sum(pr * wi - pi * wr, axis=-1, keepdims=True)
             # w <- w - w2 * inner   (complex multiply w2 * inner)
             wr = wr - (pr * inner_r - pi * inner_i)
             wi = wi - (pr * inner_i + pi * inner_r)

@@ -280,8 +280,11 @@ def test_gram_schmidt_orthogonality(rng):
     assert np.abs(off * (1 - np.eye(4))).max() < 1e-3
 
 
-def _torch_gs_crm(x):
-    """Literal re-derivation of nppc_audio/pc_wrapper.py:8-44."""
+def _torch_gs_crm(x, reference_convention: bool):
+    """Torch re-derivation of nppc_audio/pc_wrapper.py:8-44. With
+    reference_convention=True uses the reference's literal coefficient
+    sum(w.conj() * w2) — which does NOT orthogonalize complex vectors
+    (<w2, w'> = 2i*Im<w, w2>); False uses the textbook sum(w2.conj() * w)."""
     x = torch.from_numpy(x)
     xc = torch.complex(x[:, :, 0], x[:, :, 1])
     b, n, f, t = xc.shape
@@ -290,7 +293,11 @@ def _torch_gs_crm(x):
     for i in range(n):
         w = xf[:, i]
         for w2 in proj:
-            w = w - w2 * torch.sum(w.conj() * w2, dim=1, keepdim=True)
+            if reference_convention:
+                coef = torch.sum(w.conj() * w2, dim=1, keepdim=True)
+            else:
+                coef = torch.sum(w2.conj() * w, dim=1, keepdim=True)
+            w = w - w2 * coef
         w_hat = w.detach() / w.detach().norm(dim=1, keepdim=True)
         x_orth.append(w)
         proj.append(w_hat)
@@ -298,10 +305,37 @@ def _torch_gs_crm(x):
     return torch.stack([out.real, out.imag], dim=2).numpy()
 
 
-def test_gram_schmidt_complex_matches_reference(rng):
+def _complex_cosines(w):
+    """Pairwise |<w_i, w_j>| / (|w_i||w_j|) over [B, n, 2, F, T]."""
+    b, n = w.shape[:2]
+    wf = w.reshape(b, n, 2, -1)
+    out = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            rr = (wf[:, i, 0] * wf[:, j, 0] + wf[:, i, 1] * wf[:, j, 1]).sum(-1)
+            im = (wf[:, i, 0] * wf[:, j, 1] - wf[:, i, 1] * wf[:, j, 0]).sum(-1)
+            ni = np.sqrt((wf[:, i] ** 2).sum((1, 2)))
+            nj = np.sqrt((wf[:, j] ** 2).sum((1, 2)))
+            out[i, j] = (np.sqrt(rr ** 2 + im ** 2) / (ni * nj + 1e-12)).max()
+    return out
+
+
+def test_gram_schmidt_complex_orthogonality_and_convention(rng):
+    """The complex GS must produce truly orthogonal directions — the
+    reference's literal coefficient (conj on the wrong side,
+    nppc_audio/pc_wrapper.py:42) does not, which lets the NPPC objective
+    collapse (reconst_err < 0). We match the corrected torch rederivation
+    and assert the reference convention is indeed broken."""
     x = rng.standard_normal((2, 3, 2, 8, 6)).astype(np.float32)
-    np.testing.assert_allclose(np.asarray(gram_schmidt_to_crm(x)),
-                               _torch_gs_crm(x), atol=1e-4)
+    ours = np.asarray(gram_schmidt_to_crm(x))
+    np.testing.assert_allclose(ours, _torch_gs_crm(x, False), atol=1e-4)
+
+    cos = _complex_cosines(ours)
+    assert cos[~np.eye(3, dtype=bool).reshape(3, 3)].max() < 1e-3
+
+    ref = _torch_gs_crm(x, True)
+    ref_cos = _complex_cosines(ref)
+    assert ref_cos[~np.eye(3, dtype=bool)].max() > 0.05  # genuinely broken
 
 
 # ---------------------------------------------------------- preprocess ----
