@@ -81,14 +81,15 @@ def stage_pool(n_batches: int, seed: int):
     return pool
 
 
-def train(steps: int):
+def train(steps: int, lr: float = 3e-4):
     import jax
     from generative_audio_tpu.train.nppc import (
         NPPCDenoisingTrainConfig, NPPCDenoisingTrainer)
 
     print(f"backend={jax.default_backend()}")
     cfg = NPPCDenoisingTrainConfig(
-        model=_model_config(), second_moment_loss_grace=200,
+        model=_model_config(), learning_rate=lr,
+        second_moment_loss_grace=1000,
         log_interval=50, save_interval=500)
     trainer = NPPCDenoisingTrainer(
         cfg, restoration_params=_restoration_params(),
@@ -193,10 +194,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("stage", choices=["train", "validate", "report"])
     parser.add_argument("--steps", type=int, default=800)
+    parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--samples", type=int, default=4)
     args = parser.parse_args()
     if args.stage == "train":
-        train(args.steps)
+        train(args.steps, lr=args.lr)
     elif args.stage == "validate":
         validate(args.samples)
     else:
