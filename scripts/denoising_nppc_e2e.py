@@ -179,7 +179,13 @@ def report():
         f"({h['ms_per_step']:.0f} ms/step, batch {BATCH} x 3.072 s).",
         "",
         f"NPPC objective: {np.mean(obj[:20]):.4f} (first 20 steps) -> "
-        f"{np.mean(obj[-20:]):.4f} (last 20).",
+        f"{np.mean(obj[-20:]):.4f} (last 20); milestones "
+        + ", ".join(f"step {s}: {obj[s - 1]:.4f}"
+                    for s in (50, 500, 1500, 3000, len(obj))
+                    if s <= len(obj))
+        + " — still descending steeply at the end (the head was trained "
+        "from scratch; the reference's exploratory denoising line has no "
+        "recorded numbers to compare against).",
         "",
         "Validation (held-out pairs): per-pc alpha-grid audio variations + "
         "9-column spectrogram figure written under "
