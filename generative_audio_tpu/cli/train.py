@@ -33,7 +33,8 @@ def main(argv=None):
     line = raw.pop("line")  # enhance | restoration | nppc_inpainting |
     #   nppc_denoising | image_restoration | image_nppc
     checkpoint_dir = raw.pop("checkpoint_dir", "checkpoints")
-    data_cfg = raw.pop("data")
+    # image lines carry no data section (their trainers own the data module)
+    data_cfg = raw.pop("data", None)
     loader_cfg = raw.pop("dataloader", {})
     log = get_logger().info
 

@@ -135,7 +135,6 @@ train:
   dataset: mnist
   distortion_type: denoising_1
   net_type: unet
-data: {{}}
 run:
   n_steps: 2
   batch_size: 4
