@@ -70,7 +70,7 @@ class LSTMLayer(nn.Module):
 
         if self._want_pallas():
             from generative_audio_tpu.ops.pallas_lstm import (
-                lstm_scan_tm, pallas_available)
+                lstm_scan_tm, pallas_available, planned_batch)
             # Hoisted projection (one giant MXU matmul, written time-major —
             # no transpose pass) + the fused Pallas scan over bf16 gates.
             # NOTE: the fused-projection variant (lstm_layer_tm) that avoids
@@ -81,11 +81,19 @@ class LSTMLayer(nn.Module):
             # kernel, so keep cdt there.
             pdt = jnp.bfloat16 if pallas_available() else cdt
             x_tm = x if time_major else jnp.swapaxes(x, 0, 1)
+            # Pre-pad the SMALL pre-projection input to the kernel's block
+            # multiple so the [T, B, 4H] gates buffer is born at its padded
+            # size — the kernel's internal pad would be a second full-size
+            # HBM-resident copy (OOMs batch 16 x 10 s at F=257).
+            b = x_tm.shape[1]
+            b_pad = planned_batch(b)
+            if b_pad != b:
+                x_tm = jnp.pad(x_tm, ((0, 0), (0, b_pad - b), (0, 0)))
             gates_tm = jnp.einsum(
                 "tbf,fg->tbg", x_tm.astype(pdt), w_ih.astype(pdt),
                 preferred_element_type=jnp.float32) + bias
             ys_tm = lstm_scan_tm(gates_tm.astype(pdt), w_hh,
-                                 reverse=reverse, out_dtype=cdt)
+                                 reverse=reverse, out_dtype=cdt)[:, :b]
             return ys_tm if time_major else jnp.swapaxes(ys_tm, 0, 1)
         if time_major:
             x = jnp.swapaxes(x, 0, 1)
@@ -160,13 +168,17 @@ class GRULayer(nn.Module):
 
         if self._want_pallas():
             from generative_audio_tpu.ops.pallas_lstm import (
-                gru_scan_tm, pallas_available)
+                gru_scan_tm, pallas_available, planned_batch)
             pdt = jnp.bfloat16 if pallas_available() else cdt
+            b = x.shape[0]
+            b_pad = planned_batch(b)   # see SequenceLSTM._scan
+            if b_pad != b:
+                x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
             gates_tm = jnp.einsum(
                 "btf,fg->tbg", x.astype(pdt), w_ih.astype(pdt),
                 preferred_element_type=jnp.float32) + b_ih
             ys_tm = gru_scan_tm(gates_tm.astype(pdt), w_hh, b_hh,
-                                reverse=reverse, out_dtype=cdt)
+                                reverse=reverse, out_dtype=cdt)[:, :b]
             return jnp.swapaxes(ys_tm, 0, 1)
 
         gates_x = jnp.einsum(

@@ -356,6 +356,15 @@ def _round_up(x: int, m: int) -> int:
 _BLOCK_EFFICIENCY = {128: 0.80, 256: 1.0, 384: 1.069, 512: 1.08, 576: 1.096}
 
 
+def planned_batch(b: int, block_b: int = 256) -> int:
+    """The batch size the kernels pad to internally. Callers that pad their
+    INPUT (pre-projection, feature dim ~34) up to this and slice the output
+    back skip the kernels' internal jnp.pad of the [T, B, 4H] gates buffer —
+    a full-size HBM copy (3.8 GB at the inference shape, and the 2x-resident
+    peak OOMs batch 16 at 10 s clips)."""
+    return _round_up(b, _pick_block(b, block_b))
+
+
 def _pick_block(b: int, block_b: int) -> int:
     """Batch block minimizing padded_rows / block_efficiency."""
     candidates = [c for c in _BLOCK_EFFICIENCY
