@@ -94,6 +94,8 @@ def train(steps: int, lr: float = 3e-4):
     trainer = NPPCDenoisingTrainer(
         cfg, restoration_params=_restoration_params(),
         checkpoint_dir=str(CKPT), example_length=16384)
+    if trainer.restore_latest():
+        print(f"resumed from step {int(trainer.state.step)}")
     t0 = time.time()
     pool = stage_pool(50, seed=7)
     print(f"staged 50 batches in {time.time() - t0:.0f}s")
