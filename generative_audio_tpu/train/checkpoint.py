@@ -81,6 +81,10 @@ class CheckpointManager:
             missing = []
 
             def merge(target, src, prefix=""):
+                """Rebuild the TARGET's container structure from the raw
+                restore (orbax returns namedtuples as field-name dicts and
+                tuples as lists — handing those back verbatim breaks optax,
+                whose update() needs its NamedTuple states back)."""
                 if isinstance(target, dict):
                     out = {}
                     for k, v in target.items():
@@ -94,9 +98,32 @@ class CheckpointManager:
                             missing.append(prefix + k)
                             out[k] = v
                     return out
+                if hasattr(target, "_fields"):       # NamedTuple (optax)
+                    vals = []
+                    for f in target._fields:
+                        if isinstance(src, dict) and f in src:
+                            vals.append(merge(getattr(target, f), src[f],
+                                              f"{prefix}{f}/"))
+                        else:
+                            missing.append(prefix + f)
+                            vals.append(getattr(target, f))
+                    return type(target)(*vals)
+                if isinstance(target, (list, tuple)):
+                    seq = src if isinstance(src, (list, tuple)) else []
+                    vals = []
+                    for i, t in enumerate(target):
+                        if i < len(seq):
+                            vals.append(merge(t, seq[i], f"{prefix}{i}/"))
+                        else:
+                            missing.append(f"{prefix}{i}")
+                            vals.append(t)
+                    return (list(vals) if isinstance(target, list)
+                            else tuple(vals))
+                if target is None:
+                    return None
                 return src
 
-            merged = merge(_to_saveable(target_tree), restored)
+            merged = merge(target_tree, restored)
             if missing:
                 import warnings
                 warnings.warn(

@@ -288,6 +288,9 @@ def test_enhance_trainer_resume(tmp_path, rng):
     a = jax.tree_util.tree_leaves(trainer.state.params)
     b = jax.tree_util.tree_leaves(fresh.state.params)
     assert all(np.allclose(x, y) for x, y in zip(a, b))
+    # resumed training must actually step (structure-preserving restore)
+    fresh.train([(noisy, clean)], epochs=1, log=lambda *a: None)
+    assert int(fresh.state.step) == 4
 
 
 def test_nppc_inpainting_trainer_resume(tmp_path, rng):
@@ -312,3 +315,7 @@ def test_nppc_inpainting_trainer_resume(tmp_path, rng):
     a = jax.tree_util.tree_leaves(trainer.state.opt_state)
     b = jax.tree_util.tree_leaves(fresh.state.opt_state)
     assert all(np.allclose(x, y) for x, y in zip(a, b))
+    # the restored opt_state must keep optax's NamedTuple structure —
+    # a raw-dict restore only fails once you actually step
+    fresh.train([batch], n_steps=1, log=lambda *a: None)
+    assert int(fresh.state.step) == 5
