@@ -228,3 +228,42 @@ class TestPallasBackwardKernel:
             for a, b_ in zip(gp, gr):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                            atol=2e-2, rtol=1e-2)
+
+
+def test_planned_batch_matches_internal_padding():
+    """Pre-padding inputs to planned_batch(b) must make the kernels' internal
+    _pad_batch a no-op (that second full-size pad copy OOM'd batch 16)."""
+    from generative_audio_tpu.ops.pallas_lstm import (
+        planned_batch, _pick_block, _round_up)
+    for b in (7, 64, 2056, 2176, 4112):
+        bp = planned_batch(b)
+        assert bp >= b
+        assert bp == _round_up(bp, _pick_block(bp, 256)), b
+        # idempotent: an already-planned batch plans to itself
+        assert planned_batch(bp) == bp, b
+
+
+def test_scan_backward_escape_hatch(rng):
+    """USE_PALLAS_BACKWARD=False falls back to the round-1 scan-remat
+    backward; grads must match the Pallas backward (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    from generative_audio_tpu.ops import pallas_lstm as pl
+
+    t, b, h = 6, 8, 16
+    gx = jnp.asarray(rng.standard_normal((t, b, 4 * h)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((h, 4 * h)) * 0.1, jnp.float32)
+
+    def loss(gx, w):
+        return jnp.sum(pl.lstm_scan_tm(gx, w, out_dtype=jnp.float32) ** 2)
+
+    g_pallas = jax.grad(loss, argnums=(0, 1))(gx, w)
+    old = pl.USE_PALLAS_BACKWARD
+    try:
+        pl.USE_PALLAS_BACKWARD = False
+        g_scan = jax.grad(loss, argnums=(0, 1))(gx, w)
+    finally:
+        pl.USE_PALLAS_BACKWARD = old
+    for a, c in zip(g_pallas, g_scan):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-2, atol=2e-3)
