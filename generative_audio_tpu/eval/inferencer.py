@@ -242,6 +242,7 @@ class Inferencer:
 
         prev = None
         out = []
+        t_start = time.time()
         for chunk_idx in range(num_chunks):
             start = chunk_idx * hop
             seg = noisy[start:start + chunk_length]
@@ -264,6 +265,9 @@ class Inferencer:
                 cur = tmp[:m] + prev[:m]
                 prev = enhanced_chunk[hop:]
             out.append(cur)
+        # the reference logs RTF for the streaming mode too
+        # (fullsubnet_plus/inferencer/inferencer.py:135)
+        self.last_rtf = (time.time() - t_start) / (len(noisy) / c.sr)
         return np.concatenate(out)[: len(noisy)]
 
     def time_domain(self, noisy: np.ndarray, args=None) -> np.ndarray:
