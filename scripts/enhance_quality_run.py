@@ -208,6 +208,9 @@ def train(epochs: int):
 
     tracker = ExperimentTracker(str(ARTIFACTS / "runs"), "enhance_quality")
     trainer = EnhanceTrainer(cfg, checkpoint_dir=str(CKPT), tracker=tracker)
+    if trainer.restore_latest():
+        print(f"resumed from step {int(trainer.state.step)}, "
+              f"best composite {trainer.best_score:.4f}")
 
     t0 = time.time()
     trainer.train(loader, epochs=epochs, val_dataset=val_ds,
