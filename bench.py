@@ -16,11 +16,17 @@ Also reports the perf-judging extras:
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
+
+# persist XLA compiles across bench invocations (train-step compiles take
+# 5-15 min over the tunnel; verified working with the axon plugin)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path.home() / ".jax_cache"))
 
 import numpy as np
 
