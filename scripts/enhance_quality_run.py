@@ -153,6 +153,57 @@ def build_corpus():
           f"val_hard pairs: {n_hard}")
 
 
+def augment_noise():
+    """Broaden the TRAINING noise manifold (generalization fix).
+
+    The first run's probe showed STOI regressing on unseen noise types
+    (brown/clicks/chirp): those are mild degradations (noisy STOI 0.80) and a
+    model trained only on dense wideband noise over-suppresses them. Add six
+    families that widen coverage — impulsive, tonal, low-frequency-heavy,
+    narrow-band, slow-AM — while keeping the probe types themselves unseen.
+    """
+    from generative_audio_tpu.data.audio_io import write_wav
+
+    rng = np.random.default_rng(7)
+    n = int(10.0 * SR)
+    t = np.arange(n) / SR
+    out = {}
+    # low-frequency rumble: 1/f^0.75 colored (probe's brown is 1/f^2)
+    spec = np.fft.rfft(rng.standard_normal(n))
+    f = np.fft.rfftfreq(n, 1 / SR)
+    f[0] = f[1]
+    out["rumble"] = np.fft.irfft(spec / f ** 0.75, n)
+    # gated white-noise bursts, 30-120 ms (probe's clicks are 2.5 ms)
+    gate = np.zeros(n)
+    for pos in rng.integers(0, n - 2000, 60):
+        w = int(rng.integers(480, 1920))
+        gate[pos:pos + w] = 1.0
+    out["bursts"] = gate * rng.standard_normal(n) + \
+        0.05 * rng.standard_normal(n)
+    # steady inharmonic tone stack (probe's chirp sweeps)
+    out["tones"] = sum(np.sin(2 * np.pi * fk * t + rng.random() * 6.28)
+                       for fk in (427.0, 951.0, 1713.0, 2222.0)) \
+        + 0.1 * rng.standard_normal(n)
+    # second narrow band, 2-4 kHz
+    spec = np.fft.rfft(rng.standard_normal(n))
+    spec[(f < 2000) | (f > 4000)] = 0
+    out["band2"] = np.fft.irfft(spec, n)
+    # slow AM white (2.5 Hz; "machine" uses 7.3 Hz)
+    out["am_slow"] = (rng.standard_normal(n)
+                      * (0.5 + 0.5 * np.sin(2 * np.pi * 2.5 * t)))
+    # 60 Hz mains hum stack (train "hum" is 50 Hz)
+    out["hum60"] = sum(np.sin(2 * np.pi * 60 * k * t + rng.random() * 6.28)
+                       / k for k in range(1, 6)) \
+        + 0.1 * rng.standard_normal(n)
+
+    noise_dir = ROOT / "train" / "noise"
+    for k, v in out.items():
+        v = (0.2 * v / (np.abs(v).max() + 1e-9)).astype(np.float32)
+        write_wav(noise_dir / f"{k}.wav", v, SR)
+    print(f"noise bank now: "
+          f"{sorted(p.stem for p in noise_dir.glob('*.wav'))}")
+
+
 # ------------------------------------------------------------------ train --
 class PairFileDataset:
     """Fixed (noisy, clean) wav pairs for deterministic validation."""
@@ -193,7 +244,7 @@ def stage_mixture_pool(n_batches: int, batch: int = 18, seed: int = 1):
     return pool
 
 
-def train(epochs: int):
+def train(epochs: int, tag: str = ""):
     import jax
     from generative_audio_tpu.train import EnhanceTrainConfig, EnhanceTrainer
     from generative_audio_tpu.utils.tracking import ExperimentTracker
@@ -206,8 +257,11 @@ def train(epochs: int):
     val_ds = PairFileDataset(ROOT / "val")
     val_hard_ds = PairFileDataset(ROOT / "val_hard")
 
-    tracker = ExperimentTracker(str(ARTIFACTS / "runs"), "enhance_quality")
-    trainer = EnhanceTrainer(cfg, checkpoint_dir=str(CKPT), tracker=tracker)
+    ckpt_dir = ROOT / f"ckpt{tag}"
+    tracker = ExperimentTracker(str(ARTIFACTS / "runs"),
+                                f"enhance_quality{tag}")
+    trainer = EnhanceTrainer(cfg, checkpoint_dir=str(ckpt_dir),
+                             tracker=tracker)
     if trainer.restore_latest():
         print(f"resumed from step {int(trainer.state.step)}, "
               f"best composite {trainer.best_score:.4f}")
@@ -220,7 +274,7 @@ def train(epochs: int):
 
     # final full validation with the BEST params restored
     from generative_audio_tpu.train.checkpoint import CheckpointManager
-    best = CheckpointManager(str(CKPT)).restore(
+    best = CheckpointManager(str(ckpt_dir)).restore(
         "best", {"params": trainer.state.params})
     if best is not None:
         trainer.state = trainer.state.replace(params=best["params"])
@@ -253,7 +307,7 @@ def train(epochs: int):
         "noisy_baseline_hard": baseline(val_hard_ds),
     }
     ARTIFACTS.mkdir(parents=True, exist_ok=True)
-    (ARTIFACTS / "training_summary.json").write_text(
+    (ARTIFACTS / f"training_summary{tag}.json").write_text(
         json.dumps(summary, indent=2, default=float))
     print(json.dumps(summary, indent=2, default=float))
 
@@ -310,13 +364,18 @@ def report():
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("stage", choices=["corpus", "train", "report"])
+    parser.add_argument(
+        "stage", choices=["corpus", "augment", "train", "report"])
     parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--tag", default="",
+                        help="suffix for ckpt dir / tracker run / summary")
     args = parser.parse_args()
     if args.stage == "corpus":
         build_corpus()
+    elif args.stage == "augment":
+        augment_noise()
     elif args.stage == "train":
-        train(args.epochs)
+        train(args.epochs, args.tag)
     else:
         report()
 
