@@ -108,14 +108,15 @@ class NPPCValidator:
 
     def __init__(self, nppc_apply: Callable, nppc_variables,
                  restoration_apply: Callable, restoration_variables,
-                 config: NPPCValidatorConfig = NPPCValidatorConfig(),
+                 config: Optional[NPPCValidatorConfig] = None,
                  transcribe_fn: Optional[Callable] = None,
                  phoneme_fn: Optional[Callable] = None):
         self.nppc_apply = nppc_apply
         self.nppc_variables = nppc_variables
         self.restoration_apply = restoration_apply
         self.restoration_variables = restoration_variables
-        self.config = config
+        # fresh default per instance: the config is mutable (save_dir etc.)
+        self.config = config if config is not None else NPPCValidatorConfig()
         self.transcribe_fn = transcribe_fn
         self.phoneme_fn = phoneme_fn
         self._device_fn = None   # lazily built ONE jitted program per shape
@@ -157,16 +158,17 @@ class NPPCValidator:
         pc_dirs = np.asarray(pc_dirs)                         # [1, K, F, T]
         pred = np.asarray(pred)
 
+        # mean_prediction is already zeroed outside the gap, and the gap-RMSE
+        # consumer only reads mask==0 cells — pass it through unchanged.
         metrics = compute_metrics(
             pc_dirs, np.asarray(baseline["principal_components"]),
-            pred, np.asarray(baseline["mean_prediction"]) + pred * np.asarray(mask4),
+            pred, np.asarray(baseline["mean_prediction"]),
             clean_log_mag, mask4)
         metrics["importance_weights"] = np.asarray(
             baseline["importance_weights"]).tolist()
 
         out_dir = Path(self.config.save_dir) / f"sample_{sample_idx}"
         out_dir.mkdir(parents=True, exist_ok=True)
-        self.save_metrics_to_json(metrics, out_dir, sample_idx)
 
         if make_plots:
             self.plot_pc_spectrograms(pred, pc_dirs, clean_log_mag, mask4,
@@ -175,6 +177,9 @@ class NPPCValidator:
             metrics["audio_variations"] = self.save_pc_audio_variations(
                 pred, pc_dirs, clean_phase, stats, out_dir,
                 full_audio=full_audio, gap_bounds=gap_bounds)
+        # Persist AFTER the audio analyses so transcriptions/phonemes/f0
+        # land in the JSON (ref save_metrics_to_json :831-870 writes last).
+        self.save_metrics_to_json(metrics, out_dir, sample_idx)
         return metrics
 
     @staticmethod

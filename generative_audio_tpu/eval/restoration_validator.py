@@ -60,8 +60,13 @@ def plot_spectrograms_and_error(clean_norm_log, masked_norm_log, output,
     err = np.abs(clean - out)
     err_gap = (err[:, gap_cols] if gap_cols.size
                else np.zeros((n_freqs, 1), err.dtype))
+    # the gap panel spans only the gap's OWN time range — reusing the
+    # full-clip extent would stretch a 0.3 s gap across the whole axis
+    frame_dt = sample_len_seconds / clean.shape[1]
+    gap_extent = ([gap_cols[0] * frame_dt, (gap_cols[-1] + 1) * frame_dt,
+                   0, n_freqs] if gap_cols.size else extent)
     im = axs[1, 1].imshow(err_gap, origin="lower", aspect="auto",
-                          vmin=vmin_err, vmax=vmax_err, extent=extent)
+                          vmin=vmin_err, vmax=vmax_err, extent=gap_extent)
     axs[1, 1].set_title("Reconstruction Error (dB)")
     fig.colorbar(im, ax=axs[1, 1])
     fig.tight_layout()
@@ -85,11 +90,12 @@ class RestorationValidator:
     """
 
     def __init__(self, restoration_apply: Callable, variables,
-                 config: RestorationValidatorConfig =
-                 RestorationValidatorConfig()):
+                 config: Optional[RestorationValidatorConfig] = None):
         self.restoration_apply = restoration_apply
         self.variables = variables
-        self.config = config
+        # fresh default per instance: the config is mutable (save_dir etc.)
+        self.config = (config if config is not None
+                       else RestorationValidatorConfig())
 
     def validate_sample(self, masked_spec, mask_frames, clean_spec,
                         sample_idx: int = 0, make_plot: bool = True) -> Dict:

@@ -39,7 +39,10 @@ def masked_mse_loss(pred: jnp.ndarray, target: jnp.ndarray,
     """MSE restricted to the gap (mask == 0 is the inpainted region).
     Ref restoration_trainer.py:193-199."""
     gap = 1.0 - mask
-    return jnp.sum(jnp.square(pred - target) * gap) / jnp.sum(gap)
+    # maximum(., 1) guards the degenerate no-gap batch: 0/0 would return NaN
+    # and permanently poison the optimizer state.
+    return (jnp.sum(jnp.square(pred - target) * gap)
+            / jnp.maximum(jnp.sum(gap), 1.0))
 
 
 def second_moment_lambda(step: jnp.ndarray, grace: int,

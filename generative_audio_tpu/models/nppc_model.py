@@ -72,21 +72,28 @@ class DenoisingNPPCModel(nn.Module):
 
     def __call__(self, noisy_waveform: jnp.ndarray) -> jnp.ndarray:
         """[B, L] noisy waveform -> w_mat [B, n_dirs, 2, F, T]."""
+        return self.forward_with_pred_crm(noisy_waveform)[0]
+
+    def forward_with_pred_crm(self, noisy_waveform: jnp.ndarray):
+        """(w_mat, compressed pred cRM) from ONE frozen-enhancer forward —
+        the training objective needs both, and relying on XLA CSE to merge
+        a second full FullSubNet+ forward is not guaranteed."""
         noisy_mag, noisy_real, noisy_imag = self._stft_triplet(noisy_waveform)
 
-        pred_crm = jax.lax.stop_gradient(
+        pred_crm_comp = jax.lax.stop_gradient(
             self.pretrained_restoration_model(noisy_mag, noisy_real,
-                                              noisy_imag))
-        pred_crm = jnp.transpose(pred_crm, (0, 2, 3, 1))     # [B, F, T, 2]
+                                              noisy_imag))     # [B, 2, F, T]
+        pred_crm = jnp.transpose(pred_crm_comp, (0, 2, 3, 1))  # [B, F, T, 2]
         pred_crm = decompress_cIRM(pred_crm)
 
         enhanced_mag, enhanced_real, enhanced_imag = crm_to_stft_components(
             pred_crm, noisy_real[:, 0], noisy_imag[:, 0])
 
-        return self.audio_pc_wrapper(
+        w_mat = self.audio_pc_wrapper(
             noisy_mag, noisy_real, noisy_imag,
             enhanced_mag[:, None], enhanced_real[:, None],
             enhanced_imag[:, None])
+        return w_mat, pred_crm_comp
 
     def get_pred_crm(self, noisy_waveform: jnp.ndarray) -> jnp.ndarray:
         """Compressed cRM from the frozen restoration model [B, 2, F, T].

@@ -356,7 +356,7 @@ def _round_up(x: int, m: int) -> int:
 _BLOCK_EFFICIENCY = {128: 0.80, 256: 1.0, 384: 1.069, 512: 1.08, 576: 1.096}
 
 
-def planned_batch(b: int, block_b: int = 256) -> int:
+def planned_batch(b: int, block_b: int = 576) -> int:
     """The batch size the kernels pad to internally. Callers that pad their
     INPUT (pre-projection, feature dim ~34) up to this and slice the output
     back skip the kernels' internal jnp.pad of the [T, B, 4H] gates buffer —
@@ -366,11 +366,14 @@ def planned_batch(b: int, block_b: int = 256) -> int:
 
 
 def _pick_block(b: int, block_b: int) -> int:
-    """Batch block minimizing padded_rows / block_efficiency."""
-    candidates = [c for c in _BLOCK_EFFICIENCY
-                  if c <= max(block_b, 576)] or [block_b]
+    """Batch block minimizing padded_rows / block_efficiency, capped at
+    block_b (the caller's VMEM bound; the default cap of 576 admits the
+    whole measured table)."""
+    candidates = ([c for c in _BLOCK_EFFICIENCY if c <= block_b]
+                  or [max(8, _round_up(min(block_b, b), 8))])
     best = min(candidates,
-               key=lambda c: (_round_up(b, c) / _BLOCK_EFFICIENCY[c], -c))
+               key=lambda c: (_round_up(b, c) / _BLOCK_EFFICIENCY.get(c, 0.5),
+                              -c))
     return min(best, _round_up(b, 8))
 
 
@@ -388,15 +391,17 @@ def _forward_pallas(gates_x, w_hh, reverse, block_b, interpret, out_dtype):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def lstm_scan_tm(gates_x: jnp.ndarray, w_hh: jnp.ndarray,
-                 reverse: bool = False, block_b: int = 256,
+                 reverse: bool = False, block_b: int = 576,
                  interpret: Optional[bool] = None,
                  out_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Fused LSTM recurrence, time-major: gates_x [T, B, 4H] (torch gate
     order, bias already added; bf16 preferred), w_hh [H, 4H] ->
     h sequence [T, B, H] in out_dtype.
 
-    Forward runs the Pallas kernel on TPU (interpret mode elsewhere);
-    backward rematerializes through lstm_scan_reference_tm.
+    Forward runs the Pallas kernel on TPU (interpret mode elsewhere).
+    Backward runs the dedicated Pallas backward kernel over streamed bf16
+    h/c residuals; set USE_PALLAS_BACKWARD = False to A/B against the
+    lax.scan rematerialization backward instead.
     """
     interp = (not pallas_available()) if interpret is None else interpret
     return _forward_pallas(gates_x, w_hh, reverse, block_b, interp,
@@ -556,8 +561,10 @@ def lstm_layer_tm(x_tm: jnp.ndarray, w_ih: jnp.ndarray, w_hh: jnp.ndarray,
     x_tm [T, B, F], w_ih [F, 4H], w_hh [H, 4H], bias [4H] -> [T, B, H].
 
     HBM traffic is x (bf16) + h-sequence out — the 4x-larger gate
-    projections live only in VMEM. Backward rematerializes through the
-    lax.scan reference."""
+    projections live only in VMEM. Under grad, the forward hoists the
+    projection once and the backward runs the Pallas backward kernel
+    (USE_PALLAS_BACKWARD = False falls back to a vjp through the lax.scan
+    reference)."""
     interp = (not pallas_available()) if interpret is None else interpret
     return _layer_forward(x_tm, w_ih, w_hh, bias, reverse, block_b, interp,
                           out_dtype)
@@ -574,6 +581,10 @@ def _layer_fwd(x_tm, w_ih, w_hh, bias, reverse, block_b, interpret,
     """Train-mode layer forward: hoist the projection once (bf16) and run
     the scan train kernel so the backward gets its h/c residuals. The
     inference path (primal, not under grad) stays projection-fused."""
+    if not USE_PALLAS_BACKWARD:
+        out = lstm_layer_tm(x_tm, w_ih, w_hh, bias, reverse, block_b,
+                            interpret, out_dtype)
+        return out, (x_tm, w_ih, w_hh, bias, None, None, None)
     interp = (not pallas_available()) if interpret is None else interpret
     b = x_tm.shape[1]
     block = _pick_block(b, block_b)
@@ -590,6 +601,14 @@ def _layer_fwd(x_tm, w_ih, w_hh, bias, reverse, block_b, interpret,
 
 def _layer_bwd(reverse, block_b, interpret, out_dtype, residuals, g):
     x_tm, w_ih, w_hh, bias, gx, h_seq, c_seq = residuals
+    if gx is None:         # USE_PALLAS_BACKWARD=False: scan-remat backward
+        _, vjp = jax.vjp(
+            lambda x, wi, wh, bb: _layer_reference(
+                x.astype(jnp.float32), wi, wh, bb, reverse),
+            x_tm, w_ih, w_hh, bias)
+        dx, dwi, dwh, db = vjp(g.astype(jnp.float32))
+        return (dx.astype(x_tm.dtype), dwi.astype(w_ih.dtype),
+                dwh.astype(w_hh.dtype), db.astype(bias.dtype))
     interp = (not pallas_available()) if interpret is None else interpret
     b = x_tm.shape[1]
     block = _pick_block(b, block_b)
@@ -718,7 +737,7 @@ def _gru_forward(gates_x, w_hh, b_hh, reverse, block_b, interpret, out_dtype):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def gru_scan_tm(gates_x: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
-                reverse: bool = False, block_b: int = 256,
+                reverse: bool = False, block_b: int = 576,
                 interpret: Optional[bool] = None,
                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Fused GRU recurrence, time-major: gates_x [T, B, 3H] (x-side gates

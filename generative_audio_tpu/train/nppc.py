@@ -77,9 +77,12 @@ class NPPCInpaintingTrainer:
             params = dict(params)
             params["pretrained_restoration_model"] = \
                 restoration_variables["params"]
-            batch_stats = dict(batch_stats or {})
-            batch_stats["pretrained_restoration_model"] = \
-                restoration_variables["batch_stats"]
+            # params-only checkpoints carry no batch_stats — keep the
+            # freshly initialized stats rather than storing a None sub-entry
+            rest_stats = restoration_variables.get("batch_stats")
+            if rest_stats is not None:
+                batch_stats = dict(batch_stats or {})
+                batch_stats["pretrained_restoration_model"] = rest_stats
 
         import optax
         tx = make_optimizer(config.learning_rate, config.betas,
@@ -317,18 +320,21 @@ class NPPCDenoisingTrainer:
                      if checkpoint_dir else None)
         self._step_fn = jax.jit(self._train_step)
         self.loss_history = []
+        self.reconst_err_history = []
 
     def _objective(self, params, batch, step):
         noisy, clean = batch
         s = self.config.model.stft
-        w_mat = self.model.apply({"params": params}, noisy)
+        # ONE forward yields both w_mat and the frozen enhancer's cRM
+        # (get_pred_crm would rerun the most expensive module in the step)
+        w_mat, pred_crm = self.model.apply(
+            {"params": params}, noisy,
+            method=self.model.forward_with_pred_crm)
         nr, ni = stft_ri(noisy, s.nfft, s.hop_length, s.win_length)
         cr, ci = stft_ri(clean, s.nfft, s.hop_length, s.win_length)
         gt_crm = build_complex_ideal_ratio_mask_ri(nr, ni, cr, ci)
         groups = self.config.model.pc_wrapper.num_groups_in_drop_band
         gt_crm = drop_band(jnp.transpose(gt_crm, (0, 3, 1, 2)), groups)
-        pred_crm = self.model.apply({"params": params}, noisy,
-                                    method=self.model.get_pred_crm)
         pred_crm = drop_band(pred_crm, groups)
         reconst_err, objective, log = nppc_objective_complex(
             w_mat, gt_crm, pred_crm, step.astype(jnp.float32),
@@ -355,17 +361,37 @@ class NPPCDenoisingTrainer:
             step += 1
             if step % self.config.log_interval == 0:
                 self.loss_history.extend(float(o) for o, _ in pending)
-                last_reconst = float(pending[-1][1])
+                self.reconst_err_history.extend(
+                    float(r) for _, r in pending)
                 pending = []
                 log(f"step {step}: objective={self.loss_history[-1]:.5f} "
-                    f"reconst_err={last_reconst:.5f}")
+                    f"reconst_err={self.reconst_err_history[-1]:.5f}")
             if self.ckpt and step % self.config.save_interval == 0:
-                self.ckpt.save_latest(
-                    {"params": self.state.params,
-                     "opt_state": self.state.opt_state,
-                     "step": np.asarray(step)}, step)
+                self._save(step)
         self.loss_history.extend(float(o) for o, _ in pending)
+        self.reconst_err_history.extend(float(r) for _, r in pending)
+        if self.ckpt:
+            # final checkpoint + metrics JSON, like the inpainting trainer —
+            # a run ending between save_interval boundaries must not lose
+            # training steps on resume (ref trainer.py:136-160)
+            self._save(step, final=True)
         return self.loss_history
+
+    def _save(self, step: int, final: bool = False):
+        tree = {"params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": np.asarray(step)}
+        self.ckpt.save_latest(tree, step)
+        if final:
+            ts = time.strftime("%Y%m%d_%H%M%S")
+            self.ckpt.save_step(tree, step)
+            (Path(self.ckpt.directory) / f"metrics_final_{ts}.json"
+             ).write_text(json.dumps({
+                 "timestamp": ts, "total_steps": step,
+                 "final_objective": self.loss_history[-1]
+                 if self.loss_history else None,
+                 "final_reconst_err": self.reconst_err_history[-1]
+                 if self.reconst_err_history else None}, indent=4))
 
     def restore_latest(self) -> bool:
         """Resume from the latest checkpoint (`-R`)."""

@@ -156,3 +156,20 @@ def test_nppc_mc_aligned_gradient_pattern():
     assert float(jnp.abs(gw).max()) > 0
     assert float(jnp.abs(gmc).max()) == 0
     assert float(jnp.abs(gsv).max()) == 0
+
+
+def test_masked_mse_no_gap_is_finite():
+    """A degenerate all-known mask (no gap) must not produce NaN (0/0) —
+    one poisoned batch would corrupt Adam state for the rest of the run."""
+    import jax
+    import jax.numpy as jnp
+    from generative_audio_tpu.losses import masked_mse_loss
+
+    pred = jnp.ones((2, 1, 4, 6))
+    target = jnp.zeros((2, 1, 4, 6))
+    mask = jnp.ones((2, 1, 4, 6))          # 1 = known everywhere
+    loss = masked_mse_loss(pred, target, mask)
+    assert jnp.isfinite(loss)
+    assert float(loss) == 0.0
+    g = jax.grad(lambda p: masked_mse_loss(p, target, mask))(pred)
+    assert bool(jnp.all(jnp.isfinite(g)))

@@ -137,11 +137,14 @@ class TestPallasGRU:
 def test_pick_block_heuristic():
     from generative_audio_tpu.ops.pallas_lstm import _pick_block, _round_up
     # FullSubNet+ sub-band batch: same padding as 256 but a faster block
-    assert _pick_block(2056, 256) == 576
+    assert _pick_block(2056, 576) == 576
     # never explodes padding to chase a big block
-    assert _round_up(600, _pick_block(600, 256)) <= 768
+    assert _round_up(600, _pick_block(600, 576)) <= 768
     # tiny batches collapse to the 8-row tile
-    assert _pick_block(4, 256) == 8
+    assert _pick_block(4, 576) == 8
+    # block_b is an honest cap (VMEM bound for larger hidden sizes)
+    assert _pick_block(2056, 256) <= 256
+    assert _pick_block(2056, 64) <= 64
 
 
 class TestPallasBackwardKernel:
@@ -238,7 +241,7 @@ def test_planned_batch_matches_internal_padding():
     for b in (7, 64, 2056, 2176, 4112):
         bp = planned_batch(b)
         assert bp >= b
-        assert bp == _round_up(bp, _pick_block(bp, 256)), b
+        assert bp == _round_up(bp, _pick_block(bp, 576)), b
         # idempotent: an already-planned batch plans to itself
         assert planned_batch(bp) == bp, b
 
@@ -262,6 +265,36 @@ def test_scan_backward_escape_hatch(rng):
     try:
         pl.USE_PALLAS_BACKWARD = False
         g_scan = jax.grad(loss, argnums=(0, 1))(gx, w)
+    finally:
+        pl.USE_PALLAS_BACKWARD = old
+    for a, c in zip(g_pallas, g_scan):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-2, atol=2e-3)
+
+
+def test_layer_backward_escape_hatch(rng):
+    """USE_PALLAS_BACKWARD=False must also reach lstm_layer_tm (it silently
+    did nothing for this entry point before): grads fall back to a vjp
+    through the lax.scan reference and match the Pallas backward."""
+    import jax
+    import jax.numpy as jnp
+    from generative_audio_tpu.ops import pallas_lstm as pl
+
+    t, b, f, h = 6, 8, 8, 16
+    x = jnp.asarray(rng.standard_normal((t, b, f)), jnp.float32)
+    wi = jnp.asarray(rng.standard_normal((f, 4 * h)) * 0.1, jnp.float32)
+    wh = jnp.asarray(rng.standard_normal((h, 4 * h)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(4 * h) * 0.1, jnp.float32)
+
+    def loss(x, wi, wh, bias):
+        return jnp.sum(
+            pl.lstm_layer_tm(x, wi, wh, bias, out_dtype=jnp.float32) ** 2)
+
+    g_pallas = jax.grad(loss, argnums=(0, 1, 2, 3))(x, wi, wh, bias)
+    old = pl.USE_PALLAS_BACKWARD
+    try:
+        pl.USE_PALLAS_BACKWARD = False
+        g_scan = jax.grad(loss, argnums=(0, 1, 2, 3))(x, wi, wh, bias)
     finally:
         pl.USE_PALLAS_BACKWARD = old
     for a, c in zip(g_pallas, g_scan):
