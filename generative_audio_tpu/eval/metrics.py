@@ -17,6 +17,7 @@ This image carries none of those native wheels, so:
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -119,13 +120,19 @@ def STOI(ref: np.ndarray, est: np.ndarray, sr: int = 16000,
         est = resample_poly(est, _FS // g, sr // g)
     ref, est = _remove_silent_frames(ref, est)
     if len(ref) < _N_FRAME * 2:
-        raise ValueError("Signal too short (or all-silent) for STOI")
+        # pystoi semantics: warn and return 1e-5 — a raise here would let
+        # one silent/short validation clip abort a whole training run
+        warnings.warn("Signal too short (or all-silent) for STOI; "
+                      "returning 1e-5 (pystoi behavior)")
+        return 1e-5
 
     X = _band_spectrogram(ref)     # [15, T]
     Y = _band_spectrogram(est)
     T = X.shape[1]
     if T < _SEG:
-        raise ValueError("Not enough frames for STOI segments")
+        warnings.warn("Not enough frames for STOI segments; "
+                      "returning 1e-5 (pystoi behavior)")
+        return 1e-5
 
     if not extended:
         c = 10 ** (-_BETA / 20)

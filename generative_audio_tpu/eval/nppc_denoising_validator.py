@@ -38,27 +38,44 @@ class DenoisingNPPCValidator:
     """
 
     def __init__(self, model_apply: Callable, crm_apply: Callable, variables,
-                 config: DenoisingNPPCValidatorConfig =
-                 DenoisingNPPCValidatorConfig()):
+                 config: Optional[DenoisingNPPCValidatorConfig] = None):
         self.model_apply = model_apply
         self.crm_apply = crm_apply
         self.variables = variables
-        self.config = config
+        self.config = (config if config is not None
+                       else DenoisingNPPCValidatorConfig())
         import jax
+        import jax.numpy as jnp
 
-        def _enhance_device(crm_bft2, noisy_real, noisy_imag, length):
+        def _grid_device(noisy, pred_crm, w_mat, length):
+            """The ENTIRE (pc, alpha) grid in one program: complex-spec-
+            domain variations (ref validator.py:266 `enhanced_complex +
+            alpha * pc_spec` — NOT compressed-cRM-domain, whose decompress
+            clip at ±9.9 would collapse large-alpha perturbations), plus all
+            iSTFTs. One dispatch per sample instead of one per variation."""
             c = self.config
-            crm = decompress_cIRM(crm_bft2)
-            er, ei = apply_crm(crm, noisy_real, noisy_imag)
-            return istft_ri(er, ei, c.nfft, c.hop_length, c.win_length,
-                            length=length)
-        # one jitted program, reused across the (pc, alpha) grid — eager
-        # per-variation evaluation is tunnel-roundtrip-bound on TPU
-        self._enhance_jit = jax.jit(_enhance_device, static_argnums=3)
-
-    def _enhance(self, crm_bft2, noisy_real, noisy_imag, length):
-        return np.asarray(self._enhance_jit(crm_bft2, noisy_real, noisy_imag,
-                                            length))
+            alphas = jnp.linspace(-3.0, 3.0, c.n_alphas)
+            nr, ni = stft_ri(noisy, c.nfft, c.hop_length, c.win_length)
+            crm = decompress_cIRM(jnp.transpose(pred_crm, (0, 2, 3, 1)))
+            er, ei = apply_crm(crm, nr, ni)                     # [1, F, T]
+            enhanced = istft_ri(er, ei, c.nfft, c.hop_length, c.win_length,
+                                length=length)
+            n_dirs = w_mat.shape[1]
+            # per-direction complex specs (ref _crm_directions_to_spectograms
+            # :55-102: decompress each w, apply to the noisy spec)
+            pc = decompress_cIRM(jnp.transpose(w_mat[0], (0, 2, 3, 1)))
+            nrd = jnp.broadcast_to(nr, (n_dirs,) + nr.shape[1:])
+            nid = jnp.broadcast_to(ni, (n_dirs,) + ni.shape[1:])
+            pr, pi = apply_crm(pc, nrd, nid)                    # [n, F, T]
+            a = alphas[None, :, None, None]
+            vr = er + a * pr[:, None]                           # [n, A, F, T]
+            vi = ei + a * pi[:, None]
+            f, t = vr.shape[-2:]
+            var_wavs = istft_ri(vr.reshape(-1, f, t), vi.reshape(-1, f, t),
+                                c.nfft, c.hop_length, c.win_length,
+                                length=length)
+            return nr, ni, er, ei, enhanced, pr, pi, vr, vi, var_wavs
+        self._grid_jit = jax.jit(_grid_device, static_argnums=3)
 
     def validate_sample(self, noisy_waveform: np.ndarray,
                         clean_waveform: Optional[np.ndarray] = None,
@@ -69,34 +86,36 @@ class DenoisingNPPCValidator:
         matching ref visualize_pc_spectrograms :148-302."""
         c = self.config
         noisy = np.asarray(noisy_waveform, np.float32)[None]
-        w_mat = np.asarray(self.model_apply(self.variables, noisy))
-        pred_crm = np.asarray(self.crm_apply(self.variables, noisy))
-        nr, ni = stft_ri(noisy, c.nfft, c.hop_length, c.win_length)
-        nr, ni = np.asarray(nr), np.asarray(ni)
+        w_mat = self.model_apply(self.variables, noisy)
+        pred_crm = self.crm_apply(self.variables, noisy)
+        (nr, ni, er, ei, enhanced, pr, pi, vr, vi,
+         var_wavs) = [np.asarray(x) for x in self._grid_jit(
+             noisy, pred_crm, w_mat, noisy.shape[-1])]
+        alphas = np.linspace(-3, 3, c.n_alphas)
+        n_dirs = pr.shape[0]
 
         out_dir = Path(c.save_dir) / f"sample_{sample_idx}"
         out_dir.mkdir(parents=True, exist_ok=True)
-        alphas = np.linspace(-3, 3, c.n_alphas)
-        n_dirs = w_mat.shape[1]
 
-        base = self._enhance(np.transpose(pred_crm, (0, 2, 3, 1)), nr, ni,
-                             noisy.shape[-1])[0]
+        def write_norm(path, wav):
+            # the reference peak-normalizes every written file
+            # (validator.py:285-289); write_wav hard-clips at ±1 otherwise
+            wav = np.asarray(wav).reshape(-1)
+            write_wav(path, wav / (np.max(np.abs(wav)) + 1e-8),
+                      c.sample_rate)
+
         if write_audio:
-            write_wav(out_dir / "enhanced.wav", base, c.sample_rate)
-            write_wav(out_dir / "noisy.wav", noisy[0], c.sample_rate)
+            write_norm(out_dir / "enhanced.wav", enhanced[0])
+            write_norm(out_dir / "noisy.wav", noisy[0])
             if clean_waveform is not None:         # ref :129-133
-                write_wav(out_dir / "clean.wav",
-                          np.asarray(clean_waveform).reshape(-1),
-                          c.sample_rate)
+                write_norm(out_dir / "clean.wav", clean_waveform)
 
         # base spectrograms (dB) for the figure's first row (ref :207-243)
         def mag_db(r, i):
             return 20 * np.log10(np.sqrt(r ** 2 + i ** 2) + 1e-8)
 
-        er, ei = stft_ri(base[None], c.nfft, c.hop_length, c.win_length)
-        er, ei = np.asarray(er)[0], np.asarray(ei)[0]
         base_row = {"Noisy": mag_db(nr[0], ni[0]),
-                    "Enhanced": mag_db(er, ei)}
+                    "Enhanced": mag_db(er[0], ei[0])}
         if clean_waveform is not None:
             cw = np.asarray(clean_waveform, np.float32).reshape(1, -1)
             cr, ci = stft_ri(cw, c.nfft, c.hop_length, c.win_length)
@@ -104,30 +123,18 @@ class DenoisingNPPCValidator:
             base_row["Clean"] = mag_db(cr, ci)
             # error = |enhanced - clean| complex difference (ref :230-237)
             base_row["Error (Enh - Clean)"] = 20 * np.log10(
-                np.sqrt((er - cr) ** 2 + (ei - ci) ** 2) + 1e-8)
+                np.sqrt((er[0] - cr) ** 2 + (ei[0] - ci) ** 2) + 1e-8)
 
         variations = []
-        # PC cRM direction -> complex spec magnitude (ref
-        # _crm_directions_to_spectograms :55-102) for the per-PC lead panel
-        pc_specs = np.zeros((n_dirs,) + nr.shape[1:], np.float32)
-        specs = np.zeros((n_dirs, len(alphas)) + nr.shape[1:], np.float32)
+        pc_specs = mag_db(pr, pi)                       # [n_dirs, F, T]
+        specs = mag_db(vr, vi)                          # [n_dirs, A, F, T]
+        var_wavs = var_wavs.reshape(n_dirs, len(alphas), -1)
         for i in range(n_dirs):
-            dir_wav = self._enhance(
-                np.transpose(w_mat[:, i], (0, 2, 3, 1)), nr, ni,
-                noisy.shape[-1])[0]
-            dr, di = stft_ri(dir_wav[None], c.nfft, c.hop_length,
-                             c.win_length)
-            pc_specs[i] = mag_db(np.asarray(dr)[0], np.asarray(di)[0])
             for j, alpha in enumerate(alphas):
-                crm_var = pred_crm + alpha * w_mat[:, i]   # [B, 2, F, T]
-                wav = self._enhance(np.transpose(crm_var, (0, 2, 3, 1)),
-                                    nr, ni, noisy.shape[-1])[0]
+                wav = var_wavs[i, j]
                 if write_audio:
-                    write_wav(out_dir / f"pc{i + 1}_alpha{alpha:+.1f}.wav",
-                              wav, c.sample_rate)
-                r2, i2 = stft_ri(wav[None], c.nfft, c.hop_length,
-                                 c.win_length)
-                specs[i, j] = mag_db(np.asarray(r2)[0], np.asarray(i2)[0])
+                    write_norm(out_dir / f"pc{i + 1}_alpha{alpha:+.1f}.wav",
+                               wav)
                 variations.append({"pc": i + 1, "alpha": float(alpha),
                                    "rms": float(np.sqrt(np.mean(wav ** 2)))})
 

@@ -214,7 +214,10 @@ class EnhanceTrainer:
         for noisy, clean in loader:
             self.state, loss = self._step_fn(self.state, noisy, clean)
             losses.append(loss)
-        avg = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        # stack on device, fetch once — per-step float() would be one
+        # blocking roundtrip per step
+        avg = (float(np.mean(jax.device_get(jnp.stack(losses))))
+               if losses else 0.0)
         self.loss_history.append(avg)
         if self.tracker is not None:
             self.tracker.log({"train_loss": avg}, step=int(self.state.step))
@@ -225,19 +228,24 @@ class EnhanceTrainer:
         from generative_audio_tpu.eval.validator import ModelValidator
         from generative_audio_tpu.eval.metrics import (
             composite_validation_score)
-        model = _model(self.config)
-        if self.config.model_type == "fullsubnet":
-            apply_fn = lambda v, m, r, i: model.apply(v, m)  # noqa: E731
-        else:
-            apply_fn = lambda v, m, r, i: model.apply(v, m, r, i)  # noqa: E731
-        validator = ModelValidator(
-            apply_fn,
-            {"params": self.state.params},
-            n_fft=self.config.n_fft, hop_length=self.config.hop_length,
-            win_length=self.config.win_length,
-            metric_names=("STOI", "SI_SDR", "WB_PESQ"))
-        means = validator.validate_dataset(dataset, max_items=max_items,
-                                           log=lambda *_: None)
+        if getattr(self, "_validator", None) is None:
+            # build ONCE: ModelValidator keeps a per-clip-length jit cache,
+            # and a fresh instance each epoch would recompile every time
+            model = _model(self.config)
+            if self.config.model_type == "fullsubnet":
+                apply_fn = lambda v, m, r, i: model.apply(v, m)  # noqa: E731
+            else:
+                apply_fn = \
+                    lambda v, m, r, i: model.apply(v, m, r, i)  # noqa: E731
+            self._validator = ModelValidator(
+                apply_fn,
+                {"params": self.state.params},
+                n_fft=self.config.n_fft, hop_length=self.config.hop_length,
+                win_length=self.config.win_length,
+                metric_names=("STOI", "SI_SDR", "WB_PESQ"))
+        self._validator.variables = {"params": self.state.params}
+        means = self._validator.validate_dataset(dataset, max_items=max_items,
+                                                 log=lambda *_: None)
         means["composite"] = composite_validation_score(
             means.get("STOI") or 0.0, means.get("WB_PESQ"))
         return means
@@ -269,6 +277,13 @@ class EnhanceTrainer:
                     self.best_score = scores["composite"]
                     self.ckpt.save_best({"params": self.state.params},
                                         scores["composite"], step)
+                    # re-save latest with the UPDATED best_score (ref
+                    # base_trainer.py:315-340) — otherwise a resume from a
+                    # run that ended here restores the stale pre-validation
+                    # score and a worse later model could overwrite best/
+                    tree["best_score"] = np.asarray(self.best_score,
+                                                    np.float32)
+                    self.ckpt.save_latest(tree, step)
         if self.ckpt:
             from generative_audio_tpu.utils.report import (
                 write_training_report)
@@ -295,5 +310,10 @@ class EnhanceTrainer:
         self.state = self.state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"]))
-        self.best_score = float(restored["best_score"])
+        # best_score.json (written by save_best) is authoritative when it is
+        # newer than the latest tree — never resume with a stale lower score
+        best_json = self.ckpt.best_score()
+        self.best_score = max(float(restored["best_score"]),
+                              best_json if best_json is not None
+                              else -float("inf"))
         return True
