@@ -27,6 +27,10 @@ def main(argv=None):
                         help="resume from the latest checkpoint")
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host TPU pod: autodetect the slice "
+                             "topology via jax.distributed (the launcher's "
+                             "GAT_* env contract needs no flag)")
     args = parser.parse_args(argv)
 
     raw = load_config_file(args.configuration)
@@ -37,6 +41,29 @@ def main(argv=None):
     data_cfg = raw.pop("data", None)
     loader_cfg = raw.pop("dataloader", {})
     log = get_logger().info
+
+    # Multi-process (multi-host / launcher) runtime: connect, shard the
+    # loader per process, assemble global batches, and gate checkpoint
+    # writes + logging to the coordinator (reference rank==0 semantics,
+    # tools/train.py:33,58).
+    from generative_audio_tpu.parallel import distributed as D
+    multiprocess = D.initialize(auto=args.distributed)
+    dist_mesh = None
+    if multiprocess:
+        from generative_audio_tpu.parallel import make_mesh
+        dist_mesh = make_mesh()
+        loader_cfg = {**loader_cfg, "host_id": D.process_index(),
+                      "num_hosts": D.process_count()}
+        log(f"distributed: process {D.process_index()}/{D.process_count()}, "
+            f"{len(dist_mesh.devices.flat)} global devices")
+        if not D.is_coordinator():
+            checkpoint_dir = None
+            log = lambda *a, **k: None  # noqa: E731
+
+    def _dist(loader):
+        """Global-batch adapter (no-op single-process)."""
+        return D.DistributedBatches(loader, dist_mesh) if multiprocess \
+            else loader
 
     from generative_audio_tpu.data import BatchLoader
 
@@ -53,7 +80,7 @@ def main(argv=None):
         trainer = T.EnhanceTrainer(cfg, checkpoint_dir=checkpoint_dir)
         if args.resume:
             trainer.restore_latest()
-        trainer.train(loader, epochs=args.epochs or 1, log=log)
+        trainer.train(_dist(loader), epochs=args.epochs or 1, log=log)
 
     elif line == "restoration":
         from generative_audio_tpu import train as T
@@ -67,7 +94,7 @@ def main(argv=None):
         trainer = T.RestorationTrainer(cfg, checkpoint_dir=checkpoint_dir)
         if args.resume:
             trainer.restore_latest()
-        trainer.train(loader, n_steps=args.steps, n_epochs=args.epochs,
+        trainer.train(_dist(loader), n_steps=args.steps, n_epochs=args.epochs,
                       log=log)
 
     elif line == "nppc_inpainting":
@@ -100,7 +127,7 @@ def main(argv=None):
             checkpoint_dir=checkpoint_dir)
         if args.resume:
             trainer.restore_latest()
-        trainer.train(loader, n_steps=args.steps, n_epochs=args.epochs,
+        trainer.train(_dist(loader), n_steps=args.steps, n_epochs=args.epochs,
                       log=log)
 
     elif line == "nppc_denoising":
@@ -112,7 +139,7 @@ def main(argv=None):
         trainer = T.NPPCDenoisingTrainer(cfg, checkpoint_dir=checkpoint_dir)
         if args.resume:
             trainer.restore_latest()
-        trainer.train(loader, n_steps=args.steps, n_epochs=args.epochs,
+        trainer.train(_dist(loader), n_steps=args.steps, n_epochs=args.epochs,
                       log=log)
 
     elif line == "image_restoration":

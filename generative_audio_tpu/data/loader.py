@@ -70,8 +70,13 @@ class BatchLoader:
             if self.drop_last else n
         for start in range(0, usable, self.global_batch_size):
             batch = order[start:start + self.global_batch_size]
-            # this host's contiguous slice of the global batch
-            yield batch[self.host_id::self.num_hosts]
+            # this host's CONTIGUOUS slice of the global batch: process-
+            # local rows concatenated in rank order then reproduce the
+            # loader's global row order exactly (what
+            # make_array_from_process_local_data assembles), so multi-
+            # process training is bitwise-comparable to single-process.
+            per = len(batch) // self.num_hosts
+            yield batch[self.host_id * per:(self.host_id + 1) * per]
 
     def __iter__(self) -> Iterator:
         self.epoch += 1

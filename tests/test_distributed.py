@@ -1,0 +1,82 @@
+"""Multi-process runtime tests: launcher + jax.distributed + per-process
+data sharding (the reference's mp.spawn + gloo + DistributedSampler stack,
+tools/train.py:22-120, rebuilt TPU-native — SURVEY.md §2.9)."""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _launch(nprocs, devices_per_proc, worker_args, timeout=900):
+    cmd = [sys.executable, "-m", "generative_audio_tpu.cli.launch",
+           "--nprocs", str(nprocs),
+           "--devices-per-process", str(devices_per_proc), "--",
+           sys.executable,
+           str(Path(__file__).parent / "distributed_worker.py")] + worker_args
+    env = dict(os.environ)
+    # Children must see ONLY the CPU backend: drop any PJRT-plugin site dirs
+    # (the axon TPU tunnel plugin force-registers itself and breaks the
+    # 2-process CPU rendezvous) and let the launcher set JAX_PLATFORMS.
+    extra = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([str(REPO)] + extra)
+    env.pop("JAX_PLATFORMS", None)
+    return subprocess.run(cmd, cwd=str(REPO), env=env, capture_output=True,
+                          text=True, timeout=timeout)
+
+
+def test_local_slice_and_per_process_batch():
+    """Single-process semantics of the DistributedSampler helpers."""
+    from generative_audio_tpu.parallel import distributed as D
+    assert D.per_process_batch_size(8) == 8
+    assert D.local_slice(8) == (0, 8)
+    assert not D.initialize()  # no env contract -> single-process no-op
+
+
+def test_two_process_job_matches_single_process(tmp_path):
+    """Launch 2 processes x 2 virtual CPU devices; the data-parallel loss/
+    grad over the 4-device mesh must equal the plain single-process value,
+    and the assembled global batch must preserve the loader's row order."""
+    out = tmp_path / "result.json"
+    proc = _launch(2, 2, [str(out)])
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    result = json.loads(out.read_text())
+    assert result["n_devices"] == 4
+
+    # single-process reference value (same seed/shapes as the worker)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 16)).astype(np.float32)
+    y = rng.standard_normal((8,)).astype(np.float32)
+    w = np.zeros(16, np.float32)
+    pred = x @ w
+    loss = np.mean((pred - y) ** 2)
+    grad = 2.0 * (x * (pred - y)[:, None]).mean(axis=0)
+    np.testing.assert_allclose(result["loss"], loss, rtol=1e-5)
+    np.testing.assert_allclose(result["grad_l2"],
+                               np.sqrt(np.sum(grad ** 2)), rtol=1e-4)
+    order = float(np.sum(y * np.arange(8, dtype=np.float32)))
+    np.testing.assert_allclose(result["order_stat"], order, rtol=1e-5)
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    """Two enhancement train steps (tiny dryrun config, drop_band G=2)
+    through BatchLoader host-sharding + DistributedBatches across 2
+    processes must match the single-process run to float32 tolerance."""
+    out = tmp_path / "result.json"
+    proc = _launch(2, 2, [str(out), "train"])
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    result = json.loads(out.read_text())
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    import distributed_worker as W
+    from generative_audio_tpu.data import BatchLoader
+    loader = BatchLoader(W.SyntheticPairs(8), global_batch_size=4,
+                         shuffle=False, num_workers=1)
+    losses, l2 = W.run_train_steps(loader, mesh=None)
+    np.testing.assert_allclose(result["losses"], losses, rtol=1e-5)
+    np.testing.assert_allclose(result["param_l2"], l2, rtol=1e-5)
