@@ -353,6 +353,18 @@ def _round_up(x: int, m: int) -> int:
 # per-block relative throughput, measured on-chip at the FullSubNet+
 # sub-band shape (T=627, H=384): bigger blocks amortize the per-step matmul
 # launch; tiny blocks underfill the MXU.
+#
+# Also measured and REJECTED (scripts/perf_lstm_unroll.py, v5e): a K-timestep
+# unrolled kernel (one [K, block_b, 4H] gate tile per grid step, K recurrence
+# steps in the body) — only +2.7% at K=2/block 576, VMEM-OOM at K=4/block 576
+# (18.6 MB > 16 MB). The step is latency-bound on the recurrence matmul +
+# gate VPU chain itself, not on grid/DMA overhead, consistent with the
+# fused-projection rejection above. Stage decomposition at bench shapes
+# (scripts/perf_decompose{,2}.py): tunnel dispatch floor ~36 ms/call;
+# on-device, the sub-band LSTM is ~90% of model time and the model is ~100%
+# of the fused pipeline (STFT/mask/iSTFT hide behind it), running at ~55% of
+# the 197 TFLOP/s bf16 roofline — near speed-of-light for an exact serial
+# LSTM at [2056 rows, T=628, H=384].
 _BLOCK_EFFICIENCY = {128: 0.80, 256: 1.0, 384: 1.069, 512: 1.08, 576: 1.096}
 
 
