@@ -28,10 +28,16 @@ re-ran the forward):
     sequence to HBM in bf16 (the only residual the backward needs beyond
     the inputs),
   * the backward kernel sweeps time in reverse with dh/dc carried in VMEM
-    scratch, recomputes the gate pre-activations with one MXU matmul
-    (cheaper than storing [T, B, 4H] activations), and accumulates dW_hh
-    into a VMEM-resident output block — three MXU matmuls per step, zero
-    fp32 residual traffic.
+    scratch and recomputes the gate pre-activations with one MXU matmul
+    (cheaper than storing [T, B, 4H] activations) — two MXU matmuls per
+    step, zero fp32 residual traffic. dW_hh is contracted OUTSIDE the
+    kernel from the streamed dgates x h_seq in one near-peak MXU matmul
+    (removes one of three matmuls from the serial latency-bound chain and
+    drops the kernel's scoped VMEM back under Mosaic's 16 MB default;
+    back-to-back full-size train-step A/B on the shared chip measured
+    58.8/62.6 ms net-of-tunnel-floor vs 61.2 ms for the in-kernel
+    accumulation — neutral-to-better under the ~7x run variance, kept for
+    the shorter serial chain and VMEM headroom).
 
 Layout notes: gates are in torch order (i, f, g, o) to match
 nn.recurrent.LSTMLayer's fused weights.
@@ -221,18 +227,19 @@ def _lstm_pallas_call_train(gates_x_tm, w_hh, block_b=256, interpret=False,
 
 
 def _lstm_bwd_kernel(gx_ref, hprev_ref, c_ref, cprev_ref, gout_ref,
-                     whh_ref, whht_ref, dgx_ref, dwhh_ref,
+                     whh_ref, whht_ref, dgx_ref,
                      dh_scratch, dc_scratch):
     """One reverse-time step of the LSTM backward.
 
     Grid iterates j = 0..T-1 over forward-scan positions p = T-1-j (last
     processed step first); the index maps translate p to array time. dh/dc
-    ride in VMEM scratch; dW_hh accumulates into its (block-resident)
-    output ref. Three MXU matmuls: gate recompute, dgates @ W_hh^T, and
-    h_prev^T dgates.
+    ride in VMEM scratch. Two MXU matmuls per step: gate recompute and
+    dgates @ W_hh^T. dW_hh is NOT accumulated here — since gates =
+    gates_x + h_prev @ W_hh, the streamed dgates output doubles as the
+    W_hh cotangent factor, and the caller contracts h_seq against it in
+    ONE near-peak MXU matmul outside the serial chain.
     """
     from jax.experimental import pallas as pl
-    from jax import lax
 
     j = pl.program_id(1)
     t_len = pl.num_programs(1)
@@ -241,7 +248,6 @@ def _lstm_bwd_kernel(gx_ref, hprev_ref, c_ref, cprev_ref, gout_ref,
     def _():
         dh_scratch[:] = jnp.zeros_like(dh_scratch)
         dc_scratch[:] = jnp.zeros_like(dc_scratch)
-        dwhh_ref[0] = jnp.zeros_like(dwhh_ref[0])
 
     # the first forward-processed step (j == T-1) had zero h/c state
     first = (j == t_len - 1)
@@ -268,21 +274,16 @@ def _lstm_bwd_kernel(gx_ref, hprev_ref, c_ref, cprev_ref, gout_ref,
 
     dgx_ref[0] = dgates.astype(dgx_ref.dtype)
     dc_scratch[:] = dc_tot * f
-    dg_bf = dgates.astype(jnp.bfloat16)
-    dh_scratch[:] = jnp.dot(dg_bf, whht_ref[:],
+    dh_scratch[:] = jnp.dot(dgates.astype(jnp.bfloat16), whht_ref[:],
                             preferred_element_type=jnp.float32)
-    # dW_hh += h_prev^T @ dgates (contract the batch dim on the MXU)
-    dwhh_ref[0] += lax.dot_general(
-        hprev_bf, dg_bf, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
 
 
 @functools.partial(
     jax.jit, static_argnames=("block_b", "interpret", "reverse"))
 def _lstm_pallas_call_bwd(gates_x_tm, h_seq, c_seq, gout, w_hh,
                           block_b=256, interpret=False, reverse=False):
-    """[T, B_pad, 4H] gates + residuals -> (dgates [T, B_pad, 4H] bf16,
-    dW_hh [n_blocks, H, 4H] fp32 — summed over blocks by the caller)."""
+    """[T, B_pad, 4H] gates + residuals -> dgates [T, B_pad, 4H] bf16
+    (the caller derives dW_hh from it with one big matmul)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -322,22 +323,16 @@ def _lstm_pallas_call_bwd(gates_x_tm, h_seq, c_seq, gout, w_hh,
             pl.BlockSpec((g4, hsz), lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, block_b, g4), t_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hsz, g4), lambda b, j: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((t_len, b_pad, g4), jnp.bfloat16),
-            jax.ShapeDtypeStruct((n_blocks, hsz, g4), jnp.float32),
-        ),
+        out_specs=pl.BlockSpec((1, block_b, g4), t_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_len, b_pad, g4), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((block_b, hsz), jnp.float32),   # dh carried
             pltpu.VMEM((block_b, hsz), jnp.float32),   # dc carried
         ],
-        # the full-size backward block (576 rows, H=384) needs ~16.3 MB of
-        # scoped VMEM — above Mosaic's conservative 16 MB default but far
-        # below the v5e's physical VMEM; raise the cap explicitly.
+        # the full-size backward block (576 rows, H=384) sat just above
+        # Mosaic's conservative 16 MB default before the dW_hh output was
+        # hoisted out; keep the raised cap for headroom.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
@@ -458,12 +453,23 @@ def _lstm_bwd(reverse, block_b, interpret, out_dtype, residuals, g):
     b_pad = _round_up(b, block)
     gx = _pad_batch(gates_x.astype(jnp.bfloat16), b_pad)
     gout = _pad_batch(g.astype(jnp.bfloat16), b_pad)
-    dgx_pad, dwhh_blocks = _lstm_pallas_call_bwd(
+    dgx_pad = _lstm_pallas_call_bwd(
         gx, h_seq, c_seq, gout, w_hh, block_b=block, interpret=interp,
         reverse=reverse)
     dgx = dgx_pad[:, :b].astype(gates_x.dtype)
-    dwhh = jnp.sum(dwhh_blocks, axis=0).astype(w_hh.dtype)
-    return dgx, dwhh
+    # dW_hh = sum_t h_prev[t]^T @ dgates[t], with h_prev the hidden state
+    # one step earlier in PROCESSING order (zero at the first processed
+    # step, which therefore contributes nothing): one big MXU contraction
+    # over (T-1)*B_pad rows instead of a matmul inside the serial kernel.
+    # Padded batch rows have zero gates/gout -> zero dgates, so they drop
+    # out of the contraction.
+    if reverse:                     # processed t = T-1 .. 0
+        h_prev, dg = h_seq[1:], dgx_pad[:-1]
+    else:                           # processed t = 0 .. T-1
+        h_prev, dg = h_seq[:-1], dgx_pad[1:]
+    dwhh = jnp.einsum("tbh,tbg->hg", h_prev, dg,
+                      preferred_element_type=jnp.float32)
+    return dgx, dwhh.astype(w_hh.dtype)
 
 
 lstm_scan_tm.defvjp(_lstm_fwd, _lstm_bwd)
@@ -625,7 +631,7 @@ def _layer_bwd(reverse, block_b, interpret, out_dtype, residuals, g):
     b = x_tm.shape[1]
     block = _pick_block(b, block_b)
     gout = _pad_batch(g.astype(jnp.bfloat16), _round_up(b, block))
-    dgx_pad, dwhh_blocks = _lstm_pallas_call_bwd(
+    dgx_pad = _lstm_pallas_call_bwd(
         gx, h_seq, c_seq, gout, w_hh, block_b=block, interpret=interp,
         reverse=reverse)
     dgates = dgx_pad[:, :b]
@@ -635,8 +641,16 @@ def _layer_bwd(reverse, block_b, interpret, out_dtype, residuals, g):
     dwi = jnp.einsum("tbf,tbg->fg", x_bf, dgates,
                      preferred_element_type=jnp.float32)
     db = jnp.sum(dgates.astype(jnp.float32), axis=(0, 1))
+    # dW_hh from the streamed dgates (see _lstm_bwd): one big contraction,
+    # padded rows contribute zero.
+    if reverse:
+        h_prev, dg_pad = h_seq[1:], dgx_pad[:-1]
+    else:
+        h_prev, dg_pad = h_seq[:-1], dgx_pad[1:]
+    dwhh = jnp.einsum("tbh,tbg->hg", h_prev, dg_pad,
+                      preferred_element_type=jnp.float32)
     return (dx.astype(x_tm.dtype), dwi.astype(w_ih.dtype),
-            jnp.sum(dwhh_blocks, axis=0).astype(w_hh.dtype),
+            dwhh.astype(w_hh.dtype),
             db.reshape(bias.shape).astype(bias.dtype))
 
 
