@@ -71,13 +71,25 @@ def main(argv=None):
             env["XLA_FLAGS"] = " ".join(flags)
         procs.append(subprocess.Popen(command, env=env))
 
-    # Wait for all ranks; on the first failure, terminate the rest by
-    # handle (never by process-name pattern).
-    rc = 0
+    # Wait for all ranks; on the first nonzero exit, terminate the rest by
+    # handle (never by process-name pattern) so one crashed rank doesn't
+    # leave the others hung on the dead coordinator.
+    import time as _time
+    first_bad = 0
     try:
-        for p in procs:
-            p.wait()
-        rc = max(p.returncode for p in procs)
+        pending = list(procs)
+        while pending:
+            for p in list(pending):
+                if p.poll() is not None:
+                    pending.remove(p)
+                    if p.returncode != 0 and first_bad == 0:
+                        first_bad = p.returncode
+                        for q in pending:
+                            q.terminate()
+            if pending:
+                _time.sleep(0.2)
+        # negative returncode = died on signal N; report shell-style 128+N
+        rc = first_bad if first_bad >= 0 else 128 - first_bad
     finally:
         for p in procs:
             if p.poll() is None:
