@@ -86,7 +86,6 @@ def main():
 
     sr = 16000
     clip_seconds = 10
-    batch = 8
     length = sr * clip_seconds
 
     config = FullSubNetPlusConfig()
@@ -106,13 +105,24 @@ def main():
         er, ei = ops.apply_crm(crm, real[:, 0], imag[:, 0])
         return ops.istft_ri(er, ei, 512, 256, 512, length=wav_in.shape[-1])
 
-    wavs = rng.standard_normal((batch, length)).astype(np.float32) * 0.05
+    # Batch 24 maximizes per-chip throughput (scripts/perf_batch_sweep.py:
+    # 8 -> 1778x, 16 -> 1950x, 24 -> 2028x, 32 OOMs on the time-major gates
+    # buffer); fall back when a co-tenant on the shared chip holds HBM.
     # Stage the inputs on the device ONCE: feeding host numpy per call makes
     # the loop pay ~5 MB of tunnel transfer per iteration (~10 ms/MB
     # measured), which benchmarks the tunnel, not the chip. A serving system
     # overlaps transfers with compute; RTF here measures compute.
-    wavs = jax.device_put(wavs)
-    out = np.asarray(enhance(params, wavs))  # compile + warm
+    for batch in (24, 16, 8):
+        wavs = jax.device_put(
+            rng.standard_normal((batch, length)).astype(np.float32) * 0.05)
+        try:
+            out = np.asarray(enhance(params, wavs))  # compile + warm
+            break
+        except Exception as e:
+            print(f"batch {batch} failed ({type(e).__name__}); "
+                  "falling back", file=sys.stderr)
+    else:
+        raise RuntimeError("all benchmark batch sizes failed")
     assert np.all(np.isfinite(out))
     infer_flops = _compiled_flops(enhance, params, wavs)
 

@@ -63,6 +63,27 @@ def test_two_process_job_matches_single_process(tmp_path):
     np.testing.assert_allclose(result["order_stat"], order, rtol=1e-5)
 
 
+def test_launcher_fails_fast_on_rank_failure():
+    """A crashed rank must terminate the remaining ranks promptly (not
+    block on the dead coordinator) and propagate its exit code."""
+    import time
+
+    cmd = [sys.executable, "-m", "generative_audio_tpu.cli.launch",
+           "--nprocs", "2", "--backend", "", "--",
+           sys.executable, "-c",
+           "import os, sys, time\n"
+           "if os.environ['GAT_PROCESS_ID'] == '1':\n"
+           "    sys.exit(3)\n"
+           "time.sleep(120)\n"]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    t0 = time.time()
+    proc = subprocess.run(cmd, cwd=str(REPO), env=env, capture_output=True,
+                          text=True, timeout=60)
+    assert proc.returncode == 3, (proc.returncode, proc.stderr[-500:])
+    assert time.time() - t0 < 30  # rank 0's sleep(120) was terminated
+
+
 def test_two_process_training_matches_single_process(tmp_path):
     """Two enhancement train steps (tiny dryrun config, drop_band G=2)
     through BatchLoader host-sharding + DistributedBatches across 2
