@@ -60,8 +60,12 @@ def pallas_available() -> bool:
 
 # Trace-time switch between the dedicated Pallas backward kernels and the
 # round-1 lax.scan rematerialization backward — kept for A/B benchmarking
-# and as an escape hatch. Read when a grad is traced, not per call.
-USE_PALLAS_BACKWARD = True
+# and as an escape hatch (GAT_PALLAS_BACKWARD=0 env or assign directly).
+# Read when a grad is traced, not per call. Measured full-size train step
+# (B=18 x 3 s, scripts/perf_train_decompose.py, net of the ~30-40 ms tunnel
+# floor): Pallas backward 59-63 ms vs scan-remat 160 ms — ~2.6x.
+import os as _os
+USE_PALLAS_BACKWARD = _os.environ.get("GAT_PALLAS_BACKWARD", "1") != "0"
 
 
 def lstm_scan_reference_tm(gates_x: jnp.ndarray, w_hh: jnp.ndarray,
