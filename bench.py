@@ -62,20 +62,21 @@ def _compiled_flops(jitted, *args):
         return None
 
 
-def _best_window(fn, barrier, iters: int, windows: int) -> float:
-    """Best-of-N sustained timing. The shared tunnel chip has ~7x run-to-run
-    variance; executions are in-order so fetching a small piece of the LAST
-    output is a true device barrier (jax.block_until_ready is unreliable
-    over the tunnel)."""
-    best = float("inf")
+def _best_window(fn, barrier, iters: int, windows: int):
+    """(best, median) of N sustained windows. The shared tunnel chip has
+    ~7x run-to-run variance; best approximates uncontended hardware speed,
+    median shows what a co-tenanted run actually sustains. Executions are
+    in-order so fetching a small piece of the LAST output is a true device
+    barrier (jax.block_until_ready is unreliable over the tunnel)."""
+    times = []
     for _ in range(windows):
         t0 = time.perf_counter()
         last = None
         for _ in range(iters):
             last = fn(last)
         barrier(last)
-        best = min(best, time.perf_counter() - t0)
-    return best
+        times.append(time.perf_counter() - t0)
+    return min(times), float(np.median(times))
 
 
 def main():
@@ -127,7 +128,7 @@ def main():
     infer_flops = _compiled_flops(enhance, params, wavs)
 
     iters, windows = 10, 8
-    elapsed = _best_window(
+    elapsed, elapsed_med = _best_window(
         lambda _: enhance(params, wavs),
         lambda last: np.asarray(last[0, :8]), iters, windows)
 
@@ -169,8 +170,8 @@ def main():
         holder["state"], loss = train_step(holder["state"], noisy, clean)
         return loss
 
-    t_elapsed = _best_window(one_step, lambda last: float(last),
-                             t_iters, t_windows)
+    t_elapsed, t_elapsed_med = _best_window(
+        one_step, lambda last: float(last), t_iters, t_windows)
     train_ms = t_elapsed / t_iters * 1e3
 
     baseline_target = 10.0           # BASELINE.md: >=10x real-time per chip
@@ -180,13 +181,16 @@ def main():
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf_x / baseline_target, 3),
         "rtf": round(rtf_x, 2),
+        "rtf_median_window": round(audio_seconds / elapsed_med, 2),
         "ms_per_call": round(ms_per_call, 3),
+        "ms_per_call_median": round(elapsed_med / iters * 1e3, 3),
         "batch": batch,
         "clip_seconds": clip_seconds,
         "flops_per_call": infer_flops,
         "mfu_est": round(mfu, 5) if mfu is not None else None,
         "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
         "train_ms_per_step": round(train_ms, 2),
+        "train_ms_per_step_median": round(t_elapsed_med / t_iters * 1e3, 2),
         "train_batch": tb,
         "train_clip_seconds": 3,
         "train_flops_per_step_est": train_flops,
