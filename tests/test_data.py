@@ -48,6 +48,67 @@ def test_dns_snr_mix_runs(rng):
     assert np.max(np.abs(noisy)) <= 0.99 + 1e-6
 
 
+def test_dns_train_dataset_scp(corpus, tmp_path, rng):
+    """DNSTrainDataset end-to-end: scp lists with offset/limit, dynamic
+    SNR mixing, RIR reverb path (ref dataset_train.py:12-207)."""
+    root, clean_dir, noise_dir = corpus
+    rir_dir = tmp_path / "rir"
+    rir_dir.mkdir()
+    rir = np.zeros(800, np.float32)
+    rir[0], rir[200] = 1.0, 0.3
+    D.write_wav(rir_dir / "rir0.wav", rir, 16000)
+
+    clean_scp = tmp_path / "clean.scp"
+    noise_scp = tmp_path / "noise.scp"
+    rir_scp = tmp_path / "rir.scp"
+    clean_scp.write_text("\n".join(
+        str(p) for p in sorted(clean_dir.glob("*.wav"))) + "\n")
+    noise_scp.write_text("\n".join(
+        str(p) for p in sorted(noise_dir.glob("*.wav"))) + "\n")
+    rir_scp.write_text(str(rir_dir / "rir0.wav") + "\n")
+
+    from generative_audio_tpu.data.dns_dataset import (
+        DNSTrainConfig, DNSTrainDataset)
+    ds = DNSTrainDataset(DNSTrainConfig(
+        clean_dataset=str(clean_scp), noise_dataset=str(noise_scp),
+        rir_dataset=str(rir_scp), clean_dataset_offset=1,
+        clean_dataset_limit=2, reverb_proportion=1.0,
+        sub_sample_length=1.0), seed=0)
+    assert len(ds) == 2                       # offset/limit honored
+    noisy, clean = ds[0]
+    assert noisy.shape == clean.shape == (16000,)
+    assert noisy.dtype == np.float32
+    assert np.max(np.abs(noisy)) <= 0.99 + 1e-6
+    assert not np.allclose(noisy, clean)      # mixing happened
+
+
+def test_dns_validation_and_inference_datasets(corpus, tmp_path):
+    """DNSValidationDataset pairs noisy/clean by the DNS fileid suffix
+    (ref dataset_validation.py:42-92); InferenceDataset walks a flat dir."""
+    root, clean_dir, _ = corpus
+    testset = tmp_path / "no_reverb"
+    (testset / "noisy").mkdir(parents=True)
+    (testset / "clean").mkdir()
+    src = sorted(clean_dir.glob("*.wav"))[0]
+    sr, wav = D.read_wav(src)
+    # DNS naming: noisy/<junk>_snr..._fileid_7.wav <-> clean/clean_fileid_7.wav
+    D.write_wav(testset / "noisy" / "book_x_snr10_fileid_7.wav", wav, sr)
+    D.write_wav(testset / "clean" / "clean_fileid_7.wav", wav * 0.5, sr)
+
+    from generative_audio_tpu.data.dns_dataset import (
+        DNSValidationDataset, InferenceDataset)
+    ds = DNSValidationDataset([str(testset), str(tmp_path / "absent")])
+    assert len(ds) == 1
+    noisy, clean, name = ds[0]
+    assert name == "book_x_snr10_fileid_7"
+    np.testing.assert_allclose(noisy, clean * 2, atol=1e-3)
+
+    inf = InferenceDataset(str(testset / "noisy"))
+    assert len(inf) == 1
+    wav_out, stem = inf[0]
+    assert stem == "book_x_snr10_fileid_7" and len(wav_out) == len(wav)
+
+
 def test_audio_dataset(corpus):
     root, clean_dir, noise_dir = corpus
     ds = D.AudioDataset(D.AudioDataSetConfig(
