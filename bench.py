@@ -125,7 +125,19 @@ def main():
     else:
         raise RuntimeError("all benchmark batch sizes failed")
     assert np.all(np.isfinite(out))
-    infer_flops = _compiled_flops(enhance, params, wavs)
+    # XLA cost analysis reports NO flops for Pallas custom calls, so the
+    # fused sub-band LSTM recurrence — the model's dominant compute — is
+    # invisible to it (verified: cost_analysis of the pure kernel returns
+    # none). Add it analytically: 2 layers x 2 FLOP/MAC x T x (B*F rows,
+    # full band at inference) x H x 4H.
+    i_frames = length // 256 + 1 + config.look_ahead
+    def _lstm_fwd_flops(rows, frames):
+        h = config.sb_model_hidden_size
+        return 2 * 2.0 * frames * rows * h * 4 * h
+    infer_flops_xla = _compiled_flops(enhance, params, wavs)
+    infer_flops = (infer_flops_xla
+                   + _lstm_fwd_flops(batch * config.num_freqs, i_frames)
+                   if infer_flops_xla else None)
 
     iters, windows = 10, 8
     elapsed, elapsed_med = _best_window(
@@ -154,14 +166,19 @@ def main():
     noisy, clean = jax.device_put(noisy), jax.device_put(clean)
     state, loss = train_step(state, noisy, clean)    # compile + warm
     assert np.isfinite(float(loss))
-    # fwd+bwd ~= 3x forward FLOPs; scale the measured inference cost
+    # fwd+bwd ~= 3x forward FLOPs; scale the measured inference XLA cost
     # analysis by the train/infer (batch x frames) ratio rather than
-    # AOT-lowering the train step (which would recompile it, ~10 min
-    # on the tunnel).
-    t_frames = tlen // tcfg.hop_length + 1
-    i_frames = length // 256 + 1
-    train_flops = (3.0 * infer_flops * (tb * t_frames) / (batch * i_frames)
-                   if infer_flops else None)
+    # AOT-lowering the train step (which would recompile it, ~10 min on
+    # the tunnel), and add the Pallas recurrence analytically with the
+    # training rows (drop_band G=2 halves the sub-band batch; the scaled
+    # XLA part slightly overcounts the sb projections for the same reason
+    # — a conservative estimate).
+    t_frames = tlen // tcfg.hop_length + 1 + tcfg.model.look_ahead
+    train_flops = (3.0 * (
+        infer_flops_xla * (tb * t_frames) / (batch * i_frames)
+        + _lstm_fwd_flops(tb * tcfg.model.num_freqs
+                          // tcfg.model.num_groups_in_drop_band, t_frames))
+        if infer_flops_xla else None)
 
     t_iters, t_windows = 3, 4
     holder = {"state": state}
@@ -187,6 +204,7 @@ def main():
         "batch": batch,
         "clip_seconds": clip_seconds,
         "flops_per_call": infer_flops,
+        "flops_per_call_xla_only": infer_flops_xla,
         "mfu_est": round(mfu, 5) if mfu is not None else None,
         "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
         "train_ms_per_step": round(train_ms, 2),
