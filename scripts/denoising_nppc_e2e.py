@@ -168,6 +168,8 @@ def report():
     summary = json.loads(
         (ARTIFACTS / "validation" / "summary.json").read_text())
     obj = h["objective"]
+    stride = int(h.get("objective_step_stride", 1))
+    n_steps = h.get("steps", len(obj) * stride)
     lines = [
         "# Denoising-NPPC — on-chip evidence run",
         "",
@@ -177,15 +179,15 @@ def report():
         "Gram-Schmidt in cIRM space, drop_band G=2 on gt and pred "
         "(ref nppc_audio/trainer.py:234-371).",
         "",
-        f"{h['steps']} steps in {h['seconds'] / 60:.1f} min "
+        f"{n_steps} steps in {h['seconds'] / 60:.1f} min "
         f"({h['ms_per_step']:.0f} ms/step, batch {BATCH} x 3.072 s).",
         "",
-        f"NPPC objective: {np.mean(obj[:20]):.4f} (first 20 steps) -> "
+        f"NPPC objective: {np.mean(obj[:20]):.4f} (first 20 samples) -> "
         f"{np.mean(obj[-20:]):.4f} (last 20); milestones "
-        + ", ".join(f"step {s}: {obj[s - 1]:.4f}"
-                    for s in (50, 500, 1500, 3000, len(obj))
-                    if s <= len(obj))
-        + " — still descending steeply at the end (the head was trained "
+        + ", ".join(f"step {s}: {obj[s // stride - 1]:.4f}"
+                    for s in (500, 3000, 10000, 20000, len(obj) * stride)
+                    if s <= len(obj) * stride)
+        + " — monotone descent over the whole run (the head was trained "
         "from scratch; the reference's exploratory denoising line has no "
         "recorded numbers to compare against).",
         "",
