@@ -225,3 +225,13 @@ def test_enhance_dir_batched(tmp_path, rng):
         sr, out = read_wav(tmp_path / "batched" / f"{name}.wav")
         assert len(out) == len(wav)
         assert np.max(np.abs(out)) <= 0.81
+
+    # the pipelined batched path must write the SAME audio as the serial
+    # per-clip path (identical model, bucket padding, peak normalization)
+    inf.config = InferencerConfig(length_bucket=1000)
+    inf.enhance_dir(DS(), tmp_path / "serial", batch_size=1,
+                    log=lambda *a: None)
+    for name, _ in clips:
+        _, a = read_wav(tmp_path / "batched" / f"{name}.wav")
+        _, b = read_wav(tmp_path / "serial" / f"{name}.wav")
+        np.testing.assert_allclose(a, b, atol=2e-4)
