@@ -352,24 +352,45 @@ class Inferencer:
             done += len(chunk)
             log(f"[{done}/{len(dataset)}] batch of {len(chunk)}")
 
+        def _warm_batch_size(padded_len: int) -> int:
+            """Largest batch (halving from batch_size) whose program warms
+            without an OOM at this bucket length — the time-major LSTM
+            gates buffer scales with batch x frames, so long buckets can
+            exceed HBM at the caller's batch size."""
+            bs = batch_size
+            while True:
+                key = ("dir_batch", padded_len, bs)
+                if key in self._compiled:
+                    return bs
+                # compile (and warm) outside the timed window so the
+                # serving RTF reports steady-state throughput, not each
+                # bucket's one-off compile
+                fn = jax.jit(batched_fn)
+                try:
+                    np.asarray(fn(self.variables,
+                                  np.zeros((bs, padded_len), np.float32)))
+                    self._compiled[key] = fn
+                    return bs
+                except Exception:
+                    if bs == 1:
+                        raise
+                    log(f"bucket {padded_len}: batch {bs} failed to warm "
+                        f"(likely HBM); retrying at {bs // 2}")
+                    bs //= 2
+
         t_serve0 = time.perf_counter()
         for padded_len, items in sorted(groups.items()):
-            for start in range(0, len(items), batch_size):
-                chunk = items[start:start + batch_size]
+            bucket_bs = _warm_batch_size(padded_len)
+            for start in range(0, len(items), bucket_bs):
+                chunk = items[start:start + bucket_bs]
                 wavs = np.zeros((len(chunk), padded_len), np.float32)
                 for j, (noisy, _) in enumerate(chunk):
                     wavs[j, :len(noisy)] = noisy
                 # pad the batch dim so every bucket shares one program
-                if len(chunk) < batch_size:
-                    wavs = np.pad(wavs, ((0, batch_size - len(chunk)),
+                if len(chunk) < bucket_bs:
+                    wavs = np.pad(wavs, ((0, bucket_bs - len(chunk)),
                                          (0, 0)))
-                key = ("dir_batch", padded_len, batch_size)
-                if key not in self._compiled:
-                    # compile (and warm) outside the timed window so the
-                    # serving RTF reports steady-state throughput, not
-                    # each bucket's one-off compile
-                    self._compiled[key] = jax.jit(batched_fn)
-                    np.asarray(self._compiled[key](self.variables, wavs))
+                key = ("dir_batch", padded_len, bucket_bs)
                 out_ref = self._compiled[key](self.variables,
                                               jax.device_put(wavs))
                 inflight.append((chunk, out_ref))
