@@ -159,7 +159,7 @@ def main():
     tcfg = EnhanceTrainConfig(model=FullSubNetPlusConfig(
         num_groups_in_drop_band=2))
     state = init_enhance_state(tcfg, jax.random.PRNGKey(1))
-    train_step = make_enhance_train_step(tcfg, donate=False)
+    train_step = make_enhance_train_step(tcfg, donate=True)
     tb, tlen = 18, 3 * sr
     clean = rng.standard_normal((tb, tlen)).astype(np.float32) * 0.05
     noisy = clean + 0.02 * rng.standard_normal((tb, tlen)).astype(np.float32)
