@@ -161,7 +161,9 @@ class ImageRestorationTrainer(_ImageTrainerBase):
         self.state = create_train_state(variables["params"], tx)
         self._variables_extra = {k: v for k, v in variables.items()
                                  if k != "params"}
-        self._step_fn = jax.jit(self._train_step)
+        # donate the state (argnum 0): the old TrainState is dead after
+        # each step, donation drops its preservation copies
+        self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
         self._eval_fn = jax.jit(self._eval_loss)
 
     def _restore(self, params, x_distorted):
@@ -245,7 +247,9 @@ class ImageNPPCTrainer(_ImageTrainerBase):
         self.state = create_train_state(variables["params"]
                                         if "params" in variables
                                         else variables, tx)
-        self._step_fn = jax.jit(self._train_step)
+        # donate the state (argnum 0): the old TrainState is dead after
+        # each step, donation drops its preservation copies
+        self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
         self._eval_fn = jax.jit(self._eval_metrics)
 
     # The PC wrapper's variables are a dict {"net": ..., "pre_net": ...};

@@ -96,7 +96,9 @@ class NPPCInpaintingTrainer:
         self.ckpt = (CheckpointManager(checkpoint_dir, config)
                      if checkpoint_dir else None)
         self._rng = jax.random.PRNGKey(seed + 1)
-        self._step_fn = jax.jit(self._train_step)
+        # donate the state (argnum 0): the old TrainState is dead after
+        # each step, donation drops its preservation copies
+        self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
         self._eval_fn = jax.jit(self._eval_step)
         self.loss_history = []
         self.reconst_err_history = []
@@ -318,7 +320,9 @@ class NPPCDenoisingTrainer:
         self.state = create_train_state(params, tx)
         self.ckpt = (CheckpointManager(checkpoint_dir, config)
                      if checkpoint_dir else None)
-        self._step_fn = jax.jit(self._train_step)
+        # donate the state (argnum 0): the old TrainState is dead after
+        # each step, donation drops its preservation copies
+        self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
         self.loss_history = []
         self.reconst_err_history = []
 

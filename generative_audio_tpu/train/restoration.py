@@ -59,7 +59,9 @@ class RestorationTrainer:
         self.ckpt = (CheckpointManager(checkpoint_dir, config)
                      if checkpoint_dir else None)
         self._rng = jax.random.PRNGKey(seed + 1)
-        self._step_fn = jax.jit(self._train_step)
+        # donate the state (argnum 0): the old TrainState is dead after
+        # each step, donation drops its preservation copies
+        self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
         self._eval_fn = jax.jit(self._eval_step)
         self.loss_history = []
         self.val_loss_history = []
