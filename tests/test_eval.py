@@ -235,3 +235,38 @@ def test_enhance_dir_batched(tmp_path, rng):
         _, a = read_wav(tmp_path / "batched" / f"{name}.wav")
         _, b = read_wav(tmp_path / "serial" / f"{name}.wav")
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_enhance_dir_batch_fallback(tmp_path, rng):
+    """When a bucket's program fails to warm at the requested batch (the
+    on-TPU case: the gates buffer exceeds HBM for long clips), the bucket
+    batch halves until it fits and every clip is still written."""
+    base = _IdentityCRM()
+
+    class _RefusesBigBatch:
+        def __call__(self, variables, mag, real, imag):
+            if mag.shape[0] > 2:     # static shape -> raises at trace time
+                raise ValueError("simulated HBM OOM")
+            return base(variables, mag, real, imag)
+
+    inf = Inferencer(_RefusesBigBatch(), variables={},
+                     config=InferencerConfig(length_bucket=1000))
+    rng = np.random.default_rng(1)
+    clips = [(f"c{i}", rng.standard_normal(800).astype(np.float32) * 0.1)
+             for i in range(5)]
+
+    class DS:
+        def __len__(self):
+            return len(clips)
+
+        def __getitem__(self, i):
+            name, wav = clips[i]
+            return wav, name
+
+    logs = []
+    inf.enhance_dir(DS(), tmp_path / "fb", batch_size=8, log=logs.append)
+    assert any("retrying" in str(line) for line in logs)
+    from generative_audio_tpu.data.audio_io import read_wav
+    for name, wav in clips:
+        _, out = read_wav(tmp_path / "fb" / f"{name}.wav")
+        assert len(out) == len(wav)
