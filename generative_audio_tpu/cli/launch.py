@@ -56,27 +56,31 @@ def main(argv=None):
     port = args.port or _free_port()
     coordinator = f"127.0.0.1:{port}"
 
-    procs = []
-    for rank in range(args.nprocs):
-        env = dict(os.environ)
-        env["GAT_COORDINATOR"] = coordinator
-        env["GAT_NUM_PROCESSES"] = str(args.nprocs)
-        env["GAT_PROCESS_ID"] = str(rank)
-        if args.backend:
-            env["JAX_PLATFORMS"] = args.backend
-            flags = [f for f in env.get("XLA_FLAGS", "").split() if f and
-                     "xla_force_host_platform_device_count" not in f]
-            flags.append("--xla_force_host_platform_device_count="
-                         f"{args.devices_per_process}")
-            env["XLA_FLAGS"] = " ".join(flags)
-        procs.append(subprocess.Popen(command, env=env))
-
-    # Wait for all ranks; on the first nonzero exit, terminate the rest by
-    # handle (never by process-name pattern) so one crashed rank doesn't
-    # leave the others hung on the dead coordinator.
+    # Spawn + wait inside one try/finally: if Popen fails mid-spawn (fd or
+    # process limits), the already-started ranks would otherwise be leaked,
+    # hung forever inside jax.distributed.initialize waiting for a world
+    # that never assembles.
     import time as _time
+    procs = []
     first_bad = 0
     try:
+        for rank in range(args.nprocs):
+            env = dict(os.environ)
+            env["GAT_COORDINATOR"] = coordinator
+            env["GAT_NUM_PROCESSES"] = str(args.nprocs)
+            env["GAT_PROCESS_ID"] = str(rank)
+            if args.backend:
+                env["JAX_PLATFORMS"] = args.backend
+                flags = [f for f in env.get("XLA_FLAGS", "").split() if f and
+                         "xla_force_host_platform_device_count" not in f]
+                flags.append("--xla_force_host_platform_device_count="
+                             f"{args.devices_per_process}")
+                env["XLA_FLAGS"] = " ".join(flags)
+            procs.append(subprocess.Popen(command, env=env))
+
+        # Wait for all ranks; on the first nonzero exit, terminate the rest
+        # by handle (never by process-name pattern) so one crashed rank
+        # doesn't leave the others hung on the dead coordinator.
         pending = list(procs)
         while pending:
             for p in list(pending):

@@ -49,21 +49,36 @@ def main(argv=None):
     from generative_audio_tpu.parallel import distributed as D
     multiprocess = D.initialize(auto=args.distributed)
     dist_mesh = None
+    sb_sharding = None
     if multiprocess:
-        from generative_audio_tpu.parallel import make_mesh
+        from generative_audio_tpu.parallel import make_mesh, subband_sharding
         dist_mesh = make_mesh()
+        sb_sharding = subband_sharding(dist_mesh)
         loader_cfg = {**loader_cfg, "host_id": D.process_index(),
                       "num_hosts": D.process_count()}
         log(f"distributed: process {D.process_index()}/{D.process_count()}, "
             f"{len(dist_mesh.devices.flat)} global devices")
+        # Every rank keeps the checkpoint_dir: restores must happen on ALL
+        # ranks (or the non-coordinators would resume from a fresh init and
+        # silently diverge); CheckpointManager itself gates WRITES to the
+        # coordinator. Only logging is rank-0-gated here.
         if not D.is_coordinator():
-            checkpoint_dir = None
             log = lambda *a, **k: None  # noqa: E731
 
     def _dist(loader):
         """Global-batch adapter (no-op single-process)."""
         return D.DistributedBatches(loader, dist_mesh) if multiprocess \
             else loader
+
+    def _dist_state(trainer):
+        """Lift the trainer's (possibly just-restored) TrainState into
+        globally-replicated arrays over the mesh, broadcasting rank 0's
+        values — required before mixing it with global data-sharded
+        batches in one jit (the tests/distributed_worker.py recipe)."""
+        if multiprocess:
+            trainer.state = D.replicate_from_coordinator(
+                dist_mesh, trainer.state)
+        return trainer
 
     from generative_audio_tpu.data import BatchLoader
 
@@ -77,9 +92,11 @@ def main(argv=None):
         else:
             dataset = AudioDataset(build_dataclass(AudioDataSetConfig, data_cfg))
         loader = BatchLoader(dataset, **{"global_batch_size": 18, **loader_cfg})
-        trainer = T.EnhanceTrainer(cfg, checkpoint_dir=checkpoint_dir)
+        trainer = T.EnhanceTrainer(cfg, checkpoint_dir=checkpoint_dir,
+                                   subband_sharding=sb_sharding)
         if args.resume:
             trainer.restore_latest()
+        _dist_state(trainer)
         trainer.train(_dist(loader), epochs=args.epochs or 1, log=log)
 
     elif line == "restoration":
@@ -94,6 +111,7 @@ def main(argv=None):
         trainer = T.RestorationTrainer(cfg, checkpoint_dir=checkpoint_dir)
         if args.resume:
             trainer.restore_latest()
+        _dist_state(trainer)
         trainer.train(_dist(loader), n_steps=args.steps, n_epochs=args.epochs,
                       log=log)
 
@@ -127,6 +145,7 @@ def main(argv=None):
             checkpoint_dir=checkpoint_dir)
         if args.resume:
             trainer.restore_latest()
+        _dist_state(trainer)
         trainer.train(_dist(loader), n_steps=args.steps, n_epochs=args.epochs,
                       log=log)
 
@@ -139,6 +158,7 @@ def main(argv=None):
         trainer = T.NPPCDenoisingTrainer(cfg, checkpoint_dir=checkpoint_dir)
         if args.resume:
             trainer.restore_latest()
+        _dist_state(trainer)
         trainer.train(_dist(loader), n_steps=args.steps, n_epochs=args.epochs,
                       log=log)
 
@@ -161,10 +181,12 @@ def main(argv=None):
         rest_cfg = build_dataclass(ImageRestorationConfig,
                                    raw.get("restoration"))
         rest_model = ImageRestorationModel(rest_cfg)
-        # jitted init: eager init over the TPU tunnel is minutes-slow (same
-        # reason bench.py / cli.inference jit their inits)
+        # jit_init: jitted on accelerator backends (eager init over the TPU
+        # tunnel is minutes-slow), eager on CPU (where the XLA init compile
+        # is the slow path — train/state.py:22-31)
+        from generative_audio_tpu.train.state import jit_init
         jax = __import__("jax")
-        rest_vars = jax.jit(rest_model.init)(jax.random.PRNGKey(0))
+        rest_vars = jit_init(rest_model.init)(jax.random.PRNGKey(0))
         rest_ckpt = raw.get("restoration_checkpoint")
         if rest_ckpt:
             mgr = CheckpointManager(rest_ckpt)

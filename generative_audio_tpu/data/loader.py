@@ -41,6 +41,16 @@ class BatchLoader:
                  num_workers: int = 8, host_id: int = 0, num_hosts: int = 1,
                  prefetch: int = 2):
         assert global_batch_size % num_hosts == 0
+        if num_hosts > 1 and not drop_last:
+            # A ragged final batch cannot be evenly sharded across hosts
+            # (len(batch) // num_hosts would silently drop rows, or yield
+            # an empty local slice that crashes collate). Multi-host runs
+            # therefore always drop the partial tail — announced, not silent.
+            import warnings
+            warnings.warn("BatchLoader: multi-host sharding requires equal "
+                          "per-host batches; forcing drop_last=True (the "
+                          "final partial batch, if any, is skipped)")
+            drop_last = True
         self.dataset = dataset
         self.global_batch_size = global_batch_size
         self.local_batch_size = global_batch_size // num_hosts

@@ -34,6 +34,7 @@ __all__ = [
     "initialize", "is_initialized", "process_index", "process_count",
     "is_coordinator", "local_slice", "global_batch_from_local",
     "per_process_batch_size", "DistributedBatches", "replicate_global",
+    "replicate_from_coordinator",
 ]
 
 _ENV_COORD = "GAT_COORDINATOR"
@@ -153,6 +154,20 @@ def replicate_global(mesh, tree):
             sharding, np.asarray(x))
 
     return jax.tree.map(put, tree)
+
+
+def replicate_from_coordinator(mesh, tree):
+    """replicate_global, but forcing every process to carry PROCESS 0's
+    values. Use for state that is only guaranteed consistent on rank 0 —
+    e.g. a checkpoint resume where the checkpoint directory might not be
+    on a shared filesystem, so non-coordinator ranks may have restored
+    nothing (fresh init) while rank 0 restored step N. replicate_global
+    would silently lift those divergent values into one "replicated"
+    array; this broadcasts rank 0's first."""
+    from jax.experimental import multihost_utils
+
+    tree = multihost_utils.broadcast_one_to_all(tree)
+    return replicate_global(mesh, tree)
 
 
 class DistributedBatches:

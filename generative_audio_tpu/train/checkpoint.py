@@ -24,8 +24,21 @@ def _to_saveable(tree):
     return jax.tree.map(np.asarray, tree)
 
 
+def _is_coordinator() -> bool:
+    return jax.process_index() == 0
+
+
 class CheckpointManager:
-    """latest/best/step-tagged checkpoints with config round-trip."""
+    """latest/best/step-tagged checkpoints with config round-trip.
+
+    Multi-process semantics: orbax saves are COLLECTIVE — every rank must
+    enter `_save` (orbax itself gates file writes to the primary host and
+    barriers the rest; a rank-0-only call deadlocks rank 0 in that barrier
+    while the other ranks run ahead). Only the plain-JSON sidecars
+    (config.json, latest_step.json, best_score.json) are coordinator-gated
+    here — the reference's rank==0 gating (base_trainer.py:160) maps to
+    exactly those non-collective writes.
+    """
 
     def __init__(self, directory, config: Optional[Any] = None):
         self.directory = Path(directory).resolve()
@@ -36,6 +49,8 @@ class CheckpointManager:
 
     # ------------------------------------------------------------ config ---
     def save_config(self, config):
+        if not _is_coordinator():
+            return
         if dataclasses.is_dataclass(config):
             config = dataclasses.asdict(config)
         with open(self.directory / "config.json", "w") as f:
@@ -55,16 +70,18 @@ class CheckpointManager:
 
     def save_latest(self, state_tree, step: int):
         self._save("latest", state_tree)
-        (self.directory / "latest_step.json").write_text(
-            json.dumps({"step": int(step)}))
+        if _is_coordinator():
+            (self.directory / "latest_step.json").write_text(
+                json.dumps({"step": int(step)}))
 
     def save_step(self, state_tree, step: int):
         self._save(f"step_{int(step):08d}", state_tree)
 
     def save_best(self, state_tree, score: float, step: int):
         self._save("best", state_tree)
-        (self.directory / "best_score.json").write_text(
-            json.dumps({"score": float(score), "step": int(step)}))
+        if _is_coordinator():
+            (self.directory / "best_score.json").write_text(
+                json.dumps({"score": float(score), "step": int(step)}))
 
     # ---------------------------------------------------------- restore ----
     def restore(self, name: str, target_tree, partial: bool = False):

@@ -294,3 +294,33 @@ def test_audio_dataset_broken_corpus_raises(tmp_path):
         sub_sample_length_seconds=0.5))
     with pytest.raises(RuntimeError, match="No readable clean audio"):
         ds[0]
+
+
+def test_batchloader_multihost_forces_drop_last():
+    """A ragged final batch cannot be sharded across hosts: multi-host
+    loaders force drop_last (announced by a warning) instead of silently
+    dropping rows or yielding empty local slices."""
+    import warnings
+
+    class Nine:
+        def __len__(self):
+            return 9
+
+        def __getitem__(self, i):
+            return np.asarray([i], np.float32)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        loaders = [D.BatchLoader(Nine(), global_batch_size=4, shuffle=False,
+                                 drop_last=False, host_id=h, num_hosts=2,
+                                 num_workers=1) for h in range(2)]
+        assert any("drop_last" in str(x.message) for x in w)
+    seen = []
+    for loader in loaders:
+        assert loader.drop_last
+        assert len(loader) == 2
+        batches = list(loader)
+        assert [b.shape for b in batches] == [(2, 1), (2, 1)]
+        seen.extend(b.reshape(-1).tolist() for b in batches)
+    flat = sorted(x for chunk in seen for x in chunk)
+    assert flat == list(map(float, range(8)))  # row 8 dropped, announced

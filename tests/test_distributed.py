@@ -12,12 +12,10 @@ import numpy as np
 REPO = Path(__file__).resolve().parents[1]
 
 
-def _launch(nprocs, devices_per_proc, worker_args, timeout=900):
+def _launch_cmd(nprocs, devices_per_proc, command, timeout=900):
     cmd = [sys.executable, "-m", "generative_audio_tpu.cli.launch",
            "--nprocs", str(nprocs),
-           "--devices-per-process", str(devices_per_proc), "--",
-           sys.executable,
-           str(Path(__file__).parent / "distributed_worker.py")] + worker_args
+           "--devices-per-process", str(devices_per_proc), "--"] + command
     env = dict(os.environ)
     # Children must see ONLY the CPU backend: drop any PJRT-plugin site dirs
     # (the axon TPU tunnel plugin force-registers itself and breaks the
@@ -28,6 +26,13 @@ def _launch(nprocs, devices_per_proc, worker_args, timeout=900):
     env.pop("JAX_PLATFORMS", None)
     return subprocess.run(cmd, cwd=str(REPO), env=env, capture_output=True,
                           text=True, timeout=timeout)
+
+
+def _launch(nprocs, devices_per_proc, worker_args, timeout=900):
+    return _launch_cmd(
+        nprocs, devices_per_proc,
+        [sys.executable, str(Path(__file__).parent / "distributed_worker.py")]
+        + worker_args, timeout=timeout)
 
 
 def test_local_slice_and_per_process_batch():
@@ -101,3 +106,49 @@ def test_two_process_training_matches_single_process(tmp_path):
     losses, l2 = W.run_train_steps(loader, mesh=None)
     np.testing.assert_allclose(result["losses"], losses, rtol=1e-5)
     np.testing.assert_allclose(result["param_l2"], l2, rtol=1e-5)
+
+
+def test_distributed_cli_train_and_resume(tmp_path):
+    """The PRODUCT distributed path (cli.train under the launcher env
+    contract): state replicated over the 2-process mesh, global batches
+    consumed, rank-0-gated checkpoints — then a -R resume, which must
+    restore on every rank (broadcast from the coordinator) rather than
+    silently diverge."""
+    import yaml
+    from generative_audio_tpu.data import write_synthetic_corpus
+
+    clean_dir, noise_dir = write_synthetic_corpus(
+        tmp_path / "corpus", n_clean=8, n_noise=2, seconds=1.0)
+    ckpt_dir = tmp_path / "ckpt"
+    cfg = {
+        "line": "enhance",
+        "checkpoint_dir": str(ckpt_dir),
+        "train": {
+            "model": {"num_freqs": 32, "sb_num_neighbors": 3,
+                      "fb_model_hidden_size": 32, "sb_model_hidden_size": 16,
+                      "num_groups_in_drop_band": 2},
+            "n_fft": 62, "hop_length": 32, "win_length": 62,
+            "compute_dtype": "float32",
+        },
+        "data": {
+            "clean_path": str(clean_dir), "noisy_path": str(noise_dir),
+            "sub_sample_length_seconds": 0.256,
+        },
+        "dataloader": {"global_batch_size": 4, "num_workers": 1,
+                       "shuffle": False},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    train_cmd = [sys.executable, "-m", "generative_audio_tpu.cli.train",
+                 "-C", str(cfg_path), "--epochs", "1"]
+
+    proc = _launch_cmd(2, 2, train_cmd)
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert (ckpt_dir / "latest").exists()
+    step1 = json.loads((ckpt_dir / "latest_step.json").read_text())["step"]
+    assert step1 == 2  # 8 clips / global batch 4
+
+    proc = _launch_cmd(2, 2, train_cmd + ["-R"])
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    step2 = json.loads((ckpt_dir / "latest_step.json").read_text())["step"]
+    assert step2 == step1 + 2  # resumed from step1, not from scratch

@@ -319,3 +319,32 @@ def test_nppc_inpainting_trainer_resume(tmp_path, rng):
     # a raw-dict restore only fails once you actually step
     fresh.train([batch], n_steps=1, log=lambda *a: None)
     assert int(fresh.state.step) == 5
+
+
+def test_checkpoint_sidecars_gated_to_coordinator(tmp_path, monkeypatch):
+    """Multi-process semantics: orbax saves are COLLECTIVE, so every rank
+    must enter them (a rank-0-only call deadlocks rank 0 in orbax's
+    internal barrier); only the plain-JSON sidecars are rank-0-gated (the
+    reference's rank==0 gating, base_trainer.py:160). Here we fake a
+    non-coordinator rank and assert the split: the orbax save still runs,
+    the sidecars don't appear."""
+    import generative_audio_tpu.train.checkpoint as C
+
+    monkeypatch.setattr(C, "_is_coordinator", lambda: False)
+    rank1 = C.CheckpointManager(tmp_path / "ck", config={"lr": 1.0})
+    rank1.save_latest({"a": np.arange(2.0)}, 5)
+    rank1.save_best({"a": np.arange(2.0)}, 1.0, 5)
+    assert (tmp_path / "ck" / "latest").exists()     # collective save ran
+    assert (tmp_path / "ck" / "best").exists()
+    assert not (tmp_path / "ck" / "latest_step.json").exists()
+    assert not (tmp_path / "ck" / "best_score.json").exists()
+    assert not (tmp_path / "ck" / "config.json").exists()
+    assert rank1.latest_step() is None
+
+    monkeypatch.setattr(C, "_is_coordinator", lambda: True)
+    rank0 = C.CheckpointManager(tmp_path / "ck", config={"lr": 1.0})
+    rank0.save_latest({"a": np.arange(2.0)}, 7)
+    restored = rank1.restore("latest", {"a": np.zeros(2)})
+    np.testing.assert_array_equal(restored["a"], np.arange(2.0))
+    assert rank1.latest_step() == 7                  # every rank restores
+    assert rank0.load_config() == {"lr": 1.0}
