@@ -46,8 +46,9 @@ class InferencerConfig:
     # overlapped_chunk per-chunk model kind: "waveform" (wav -> wav apply),
     # "spectral" (FullSubNet-style (mag, real, imag) -> cRM apply, wrapped
     # into the default cRM pipeline per chunk), or "auto" (decide from the
-    # apply-fn's signature arity; ambiguous *args signatures -> spectral,
-    # the mainline FullSubNet+ case).
+    # apply-fn's signature arity; *args wrappers are disambiguated by an
+    # abstract jax.eval_shape probe of both conventions — no device compute,
+    # and an error, never a guess, when the probe is inconclusive).
     chunk_model: str = "auto"
 
 
@@ -86,14 +87,44 @@ class Inferencer:
         try:
             params = list(inspect.signature(self.apply).parameters.values())
         except (TypeError, ValueError):
-            return False        # undecidable -> mainline spectral model
-        n_positional = 0
-        for p in params:
-            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
-                n_positional += 1
-            elif p.kind is p.VAR_POSITIONAL:
-                return False    # flax's apply(variables, *args) -> spectral
-        return n_positional <= 2   # (variables, wav) -> waveform model
+            params = None
+        if params is not None and not any(p.kind is p.VAR_POSITIONAL
+                                          for p in params):
+            n_positional = sum(
+                p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                for p in params)
+            return n_positional <= 2   # (variables, wav) -> waveform model
+        # *args wrappers (e.g. cli/inference.py's `lambda v, *inputs`) hide
+        # the arity. Probe both calling conventions ABSTRACTLY with
+        # jax.eval_shape — no device compute, and unlike the old
+        # call-and-catch-TypeError fallback it cannot silently run the
+        # wrong pipeline: a convention only wins if exactly one traces.
+        c = self.config
+        f = c.n_fft // 2 + 1
+        wav = jax.ShapeDtypeStruct((1, 4 * c.n_fft), jnp.float32)
+        spec = jax.ShapeDtypeStruct((1, 1, f, 16), jnp.float32)
+
+        def _probe(*args):
+            try:
+                jax.eval_shape(self.apply, self.variables, *args)
+                return True, None
+            except Exception as e:      # noqa: BLE001 — reported below
+                return False, e
+
+        wav_ok, wav_err = _probe(wav)
+        spec_ok, spec_err = _probe(spec, spec, spec)
+        if wav_ok != spec_ok:
+            return wav_ok
+        if wav_ok:                      # both trace: genuinely ambiguous
+            raise ValueError(
+                "chunk_model='auto': the apply fn traces under BOTH the "
+                "waveform (variables, wav) and spectral (variables, mag, "
+                "real, imag) conventions; set InferencerConfig.chunk_model "
+                "to 'waveform' or 'spectral' explicitly")
+        raise ValueError(
+            "chunk_model='auto': the apply fn traces under NEITHER the "
+            "waveform nor the spectral convention. waveform probe error: "
+            f"{wav_err!r}; spectral probe error: {spec_err!r}")
 
     def _pad_bucket(self, noisy: np.ndarray):
         bucket = self.config.length_bucket

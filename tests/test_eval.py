@@ -270,3 +270,30 @@ def test_enhance_dir_batch_fallback(tmp_path, rng):
     for name, wav in clips:
         _, out = read_wav(tmp_path / "fb" / f"{name}.wav")
         assert len(out) == len(wav)
+
+
+def test_chunk_model_auto_probe_var_positional():
+    """*args wrappers hide the apply arity; the auto mode must resolve them
+    by an abstract shape probe — waveform wrappers route to the waveform
+    path (the old code silently misrouted them to spectral), and genuinely
+    ambiguous applies raise instead of guessing."""
+    from generative_audio_tpu.eval.inferencer import (
+        Inferencer, InferencerConfig)
+
+    wav = Inferencer(lambda v, *inputs: (lambda w: w * 2.0)(*inputs),
+                     {}, InferencerConfig())
+    assert wav._chunk_model_is_waveform() is True
+
+    spec = Inferencer(
+        lambda v, *inputs: (lambda m, r, i: m + r + i)(*inputs),
+        {}, InferencerConfig())
+    assert spec._chunk_model_is_waveform() is False
+
+    ambiguous = Inferencer(lambda v, *inputs: inputs[0],
+                           {}, InferencerConfig())
+    with pytest.raises(ValueError, match="BOTH"):
+        ambiguous._chunk_model_is_waveform()
+
+    forced = Inferencer(lambda v, *inputs: inputs[0], {},
+                        InferencerConfig(chunk_model="waveform"))
+    assert forced._chunk_model_is_waveform() is True
