@@ -33,11 +33,19 @@ class DenoisingNPPCValidatorConfig:
 
 class DenoisingNPPCValidator:
     """Args:
-        model_apply(variables, noisy_waveform) -> w_mat [B, n_dirs, 2, F, T]
+        model_apply(variables, noisy_waveform) -> w_mat [B, n_dirs, 2, F, T],
+            or, when crm_apply is None, the COMBINED forward
+            (variables, noisy) -> (w_mat, compressed cRM) — i.e.
+            DenoisingNPPCModel.forward_with_pred_crm. Prefer the combined
+            form: the frozen FullSubNet+ forward dominates the cost and the
+            split form runs it twice (and compiles two programs over the
+            TPU tunnel).
         crm_apply(variables, noisy_waveform) -> compressed cRM [B, 2, F, T]
+            (split form only; pass None for the combined form)
     """
 
-    def __init__(self, model_apply: Callable, crm_apply: Callable, variables,
+    def __init__(self, model_apply: Callable, crm_apply: Optional[Callable],
+                 variables,
                  config: Optional[DenoisingNPPCValidatorConfig] = None):
         self.model_apply = model_apply
         self.crm_apply = crm_apply
@@ -86,8 +94,11 @@ class DenoisingNPPCValidator:
         matching ref visualize_pc_spectrograms :148-302."""
         c = self.config
         noisy = np.asarray(noisy_waveform, np.float32)[None]
-        w_mat = self.model_apply(self.variables, noisy)
-        pred_crm = self.crm_apply(self.variables, noisy)
+        if self.crm_apply is None:     # combined forward_with_pred_crm form
+            w_mat, pred_crm = self.model_apply(self.variables, noisy)
+        else:
+            w_mat = self.model_apply(self.variables, noisy)
+            pred_crm = self.crm_apply(self.variables, noisy)
         (nr, ni, er, ei, enhanced, pr, pi, vr, vi,
          var_wavs) = [np.asarray(x) for x in self._grid_jit(
              noisy, pred_crm, w_mat, noisy.shape[-1])]

@@ -96,19 +96,41 @@ def train(steps: int, lr: float = 3e-4):
         checkpoint_dir=str(CKPT), example_length=16384)
     if trainer.restore_latest():
         print(f"resumed from step {int(trainer.state.step)}")
+    start_step = int(trainer.state.step)
     t0 = time.time()
     pool = stage_pool(50, seed=7)
     print(f"staged 50 batches in {time.time() - t0:.0f}s")
     t0 = time.time()
     trainer.train(pool, n_steps=steps, log=print)
     dt = time.time() - t0
+    total_steps = int(trainer.state.step)
     ARTIFACTS.mkdir(parents=True, exist_ok=True)
-    (ARTIFACTS / "training_history.json").write_text(json.dumps({
-        "objective": trainer.loss_history, "steps": steps,
-        "seconds": dt, "ms_per_step": 1000 * dt / steps,
-        "backend": jax.default_backend()}, default=float))
-    print(f"{steps} steps in {dt:.0f}s ({1000 * dt / steps:.0f} ms/step); "
-          f"objective {np.mean(trainer.loss_history[:20]):.4f} -> "
+    # Merge with the prior segment's history on resume so report()'s
+    # milestone indices stay GLOBAL steps (loss_history holds only this
+    # invocation's per-step values; without the merge a resumed run's
+    # "step 500" milestone would really be step start+500).
+    hist = {"objective": list(trainer.loss_history),
+            "start_step": start_step, "objective_step_stride": 1,
+            "steps": total_steps, "seconds": dt,
+            "ms_per_step": 1000 * dt / max(steps, 1),
+            "backend": jax.default_backend()}
+    hist_path = ARTIFACTS / "training_history.json"
+    if start_step > 0 and hist_path.exists():
+        old = json.loads(hist_path.read_text())
+        o_stride = int(old.get("objective_step_stride", 1))
+        o_start = int(old.get("start_step", 0))
+        o_obj = old.get("objective", [])
+        if o_stride == 1 and o_start + len(o_obj) == start_step:
+            hist["objective"] = o_obj + hist["objective"]
+            hist["start_step"] = o_start
+        else:
+            hist["note"] = (f"history begins at step {start_step} (prior "
+                            f"segment incompatible: stride {o_stride}, "
+                            f"start {o_start}, len {len(o_obj)})")
+    hist_path.write_text(json.dumps(hist, default=float))
+    print(f"steps {start_step} -> {total_steps} in {dt:.0f}s "
+          f"({1000 * dt / max(steps, 1):.0f} ms/step); segment objective "
+          f"{np.mean(trainer.loss_history[:20]):.4f} -> "
           f"{np.mean(trainer.loss_history[-20:]):.4f}")
 
 
@@ -131,14 +153,16 @@ def validate(n_samples: int):
     params = restored["params"]
 
     model = trainer.model
-    model_apply = jax.jit(lambda v, w: model.apply(v, w))
-    crm_apply = jax.jit(lambda v, w: model.apply(
-        v, w, method=model.get_pred_crm))
+    # combined forward: ONE frozen-enhancer pass (and one compiled program)
+    # yields both w_mat and the pred cRM — the split model_apply/crm_apply
+    # form runs the dominant FullSubNet+ forward twice per sample
+    combined_apply = jax.jit(lambda v, w: model.apply(
+        v, w, method=model.forward_with_pred_crm))
 
     out_dir = ARTIFACTS / "validation"
     vcfg = DenoisingNPPCValidatorConfig(
         save_dir=str(out_dir), nfft=512, hop_length=256, win_length=512)
-    validator = DenoisingNPPCValidator(model_apply, crm_apply,
+    validator = DenoisingNPPCValidator(combined_apply, None,
                                        {"params": params}, vcfg)
 
     noisy_files = sorted((EQ_ROOT / "val" / "noisy").glob("*.wav"))
@@ -169,7 +193,13 @@ def report():
         (ARTIFACTS / "validation" / "summary.json").read_text())
     obj = h["objective"]
     stride = int(h.get("objective_step_stride", 1))
-    n_steps = h.get("steps", len(obj) * stride)
+    start = int(h.get("start_step", 0))
+    n_steps = int(h.get("steps", start + len(obj) * stride))
+
+    def at_step(s):
+        """Objective at GLOBAL step s (history may begin mid-run)."""
+        idx = (s - start) // stride - 1
+        return obj[idx] if 0 <= idx < len(obj) else None
     lines = [
         "# Denoising-NPPC — on-chip evidence run",
         "",
@@ -182,11 +212,12 @@ def report():
         f"{n_steps} steps in {h['seconds'] / 60:.1f} min "
         f"({h['ms_per_step']:.0f} ms/step, batch {BATCH} x 3.072 s).",
         "",
-        f"NPPC objective: {np.mean(obj[:20]):.4f} (first 20 samples) -> "
+        f"NPPC objective: {np.mean(obj[:20]):.4f} "
+        f"(first 20 samples{f' from step {start}' if start else ''}) -> "
         f"{np.mean(obj[-20:]):.4f} (last 20); milestones "
-        + ", ".join(f"step {s}: {obj[s // stride - 1]:.4f}"
-                    for s in (500, 3000, 10000, 20000, len(obj) * stride)
-                    if s <= len(obj) * stride)
+        + ", ".join(f"step {s}: {at_step(s):.4f}"
+                    for s in (500, 3000, 10000, 20000, 30000, 45000, n_steps)
+                    if at_step(s) is not None)
         + " — monotone descent over the whole run (the head was trained "
         "from scratch; the reference's exploratory denoising line has no "
         "recorded numbers to compare against).",
