@@ -315,6 +315,8 @@ def train(epochs: int, tag: str = ""):
 # ----------------------------------------------------------------- report --
 def report():
     s = json.loads((ARTIFACTS / "training_summary.json").read_text())
+    noise_files = sorted((ROOT / "train" / "noise").glob("*.wav"))
+    n_noise = len(noise_files) or 6
 
     def table(fin, base):
         return [
@@ -334,7 +336,7 @@ def report():
         f"bf16 compute.",
         "",
         "Training: DNS-style dynamic mixing (10 speakers of real speech x "
-        "6 synthetic noise types, SNR -5..20 dB, dBFS jitter ±10); "
+        f"{n_noise} synthetic noise types, SNR -5..20 dB, dBFS jitter ±10); "
         "validation on fixed pairs from 2 HELD-OUT speakers at SNR "
         "{0, 5} dB. Best model selected by composite_validation_score "
         "(STOI; PESQ wheel absent from image). Reference loop: "
@@ -357,6 +359,31 @@ def report():
         "",
         f"cIRM-MSE train loss: {s['loss_first_epoch']:.5f} (epoch 1) -> "
         f"{s['loss_last_epoch']:.5f} (epoch {s['epochs']}).",
+        "",
+        "## Run history (findings that shaped this configuration)",
+        "",
+        "1. **6-type noise bank generalization failure** (2026-08-17, "
+        "`training_summary_div.json` holds the A/B). The first run trained "
+        "on 6 dense wideband noise types: in-distribution SI-SDR +6.20 dB "
+        "but UNSEEN-noise SI-SDR only +0.31 dB with STOI regressing "
+        "-0.083 — the model over-suppressed mild unseen degradations. "
+        "Retraining with 6 additional families (rumble, bursts, steady "
+        "tones, 2-4 kHz band, slow-AM, 60 Hz hum — the `augment` stage; "
+        "probe types brown/clicks/chirp stay unseen) moved unseen-noise "
+        "SI-SDR to +6.58 dB and shrank the STOI regression to -0.028, at "
+        "~0.4 dB in-distribution cost: noise-manifold coverage, not model "
+        "capacity, was the bottleneck. The 12-type bank is now the "
+        "standard corpus (the tables above are a 12-type run).",
+        "",
+        "2. **Validation plateau at this data scale** "
+        "(`runs/runs/enhance_quality_2/scalars.jsonl`). Resuming a "
+        "4000-step run to 8200 steps kept lowering train loss "
+        "(0.0757 -> 0.0743) but every validation composite from step "
+        "4800-8000 stayed below the earlier best, so best-model selection "
+        "correctly froze the earlier checkpoint (reference "
+        "`_is_best_epoch` semantics, fullsubnet_plus/trainer/"
+        "base_trainer.py): the model is validation-plateaued at this "
+        "data scale and fixed lr, not under-trained.",
     ]
     (ARTIFACTS / "REPORT.md").write_text("\n".join(lines) + "\n")
     print((ARTIFACTS / "REPORT.md").read_text())
