@@ -356,7 +356,20 @@ def _round_up(x: int, m: int) -> int:
 # Also measured and REJECTED (scripts/perf_lstm_unroll.py, v5e): a K-timestep
 # unrolled kernel (one [K, block_b, 4H] gate tile per grid step, K recurrence
 # steps in the body) — only +2.7% at K=2/block 576, VMEM-OOM at K=4/block 576
-# (18.6 MB > 16 MB). The step is latency-bound on the recurrence matmul +
+# (18.6 MB > 16 MB).
+#
+# Also measured and NOT integrated (round 2, train shape [T=194, B=2560]):
+# "chains-within-block" — split the block into 2-8 independent chunks inside
+# the kernel body, all recurrence matmuls issued before all VPU gate blocks,
+# so chunk B's MXU work can overlap chunk A's VPU work. Bit-identical
+# output. Forward: neutral (the fwd kernel already runs at ~80-100% of HBM
+# speed-of-light at block 512, so there is nothing to overlap into).
+# Backward: one paired run showed -13%/-21% (chains 2/4), the repeat showed
+# 0% — inside the shared-chip variance band, expected value ~1-2 ms on a
+# ~63 ms net train step. Not worth the kernel complexity until a quieter
+# chip can confirm it. (A 2-blocks-per-grid-step variant of the same idea
+# mis-tiles: n_blocks = b_pad // (2*block) silently drops the tail rows
+# when b_pad is an odd multiple of block — don't resurrect that form.) The step is latency-bound on the recurrence matmul +
 # gate VPU chain itself, not on grid/DMA overhead, consistent with the
 # fused-projection rejection above. Stage decomposition at bench shapes
 # (scripts/perf_decompose{,2}.py): tunnel dispatch floor ~36 ms/call;
