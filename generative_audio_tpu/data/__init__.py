@@ -3,7 +3,7 @@ from generative_audio_tpu.data.audio_io import (  # noqa: F401
     read_wav, write_wav, to_mono, resample, load_audio,
 )
 from generative_audio_tpu.data.mixing import (  # noqa: F401
-    mix_with_snr, snr_mix, build_noise_track,
+    mix_with_snr, snr_mix, build_noise_track, speed_perturb,
 )
 from generative_audio_tpu.data.audio_dataset import (  # noqa: F401
     AudioDataSetConfig, AudioDataset,

@@ -17,7 +17,29 @@ from scipy import signal
 from generative_audio_tpu.ops.waveform import (
     norm_amplitude, tailor_dB_FS, is_clipped)
 
-__all__ = ["mix_with_snr", "snr_mix", "build_noise_track"]
+__all__ = ["mix_with_snr", "snr_mix", "build_noise_track", "speed_perturb"]
+
+
+def speed_perturb(wav: np.ndarray, factor: float) -> np.ndarray:
+    """Kaldi-style speed perturbation: resample by 1/factor and keep the
+    nominal sample rate, so the signal plays `factor`x faster (shorter)
+    with proportionally shifted pitch — the standard low-cost way to mint
+    extra effective speakers from a small corpus. factor is snapped to a
+    small rational (denominator <= 100) for an exact polyphase filter.
+
+    Not a reference feature (the reference trains on train-clean-360 and
+    needs no augmentation); provided for small-corpus regimes.
+    """
+    if factor <= 0:
+        raise ValueError(f"speed factor must be > 0, got {factor}")
+    if abs(factor - 1.0) < 1e-9:
+        return np.asarray(wav, np.float32)
+    from fractions import Fraction
+    frac = Fraction(factor).limit_denominator(100)
+    # output_rate/input_rate = 1/factor: up = denominator, down = numerator
+    return signal.resample_poly(
+        np.asarray(wav, np.float32), frac.denominator, frac.numerator
+    ).astype(np.float32)
 
 
 def mix_with_snr(clean: np.ndarray, noise: np.ndarray, snr: float,

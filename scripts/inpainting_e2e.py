@@ -46,7 +46,7 @@ NPPC_CKPT = WORK / "ckpt_nppc"
 CHUNK_SECONDS = 3.2
 SR = 16000
 BATCH = 16
-N_TRAIN_POOL = 60          # distinct pre-staged device-resident batches
+N_TRAIN_POOL = 150         # distinct pre-staged device-resident batches
 N_VAL_POOL = 4
 
 
@@ -55,14 +55,29 @@ def build_corpus():
     from scipy.io import wavfile
     from tests.flac_writer import flac_stream, _subframe_header
 
+    from generative_audio_tpu.data import speed_perturb
+
     wavs = sorted(REF_WAVS.glob("*.wav"))
     assert len(wavs) >= 12, f"expected reference wavs under {REF_WAVS}"
     splits = {"train": wavs[:10], "val": wavs[10:12]}
     chunk = int(CHUNK_SECONDS * SR)
     for split, files in splits.items():
-        for spk, wav_path in enumerate(files):
+        # Kaldi-style speed perturbation triples the effective TRAIN
+        # speakers (0.9x/1.1x shift pitch + tempo); validation stays at
+        # natural speed so the held-out metric regime is unchanged.
+        variants = [(None, 1.0)]
+        if split == "train":
+            variants += [("sp0.9", 0.9), ("sp1.1", 1.1)]
+        sources = [(spk_base + 100 * vi, wav_path, factor)
+                   for vi, (_, factor) in enumerate(variants)
+                   for spk_base, wav_path in enumerate(files)]
+        for spk, wav_path, factor in sources:
             sr, pcm = wavfile.read(wav_path)
             assert sr == SR and pcm.dtype == np.int16
+            if factor != 1.0:
+                x = speed_perturb(pcm.astype(np.float32) / 32768.0, factor)
+                pcm = np.clip(np.round(x * 32768.0),
+                              -32768, 32767).astype(np.int16)
             chap_dir = CORPUS / split / f"{spk:03d}" / "000"
             chap_dir.mkdir(parents=True, exist_ok=True)
             trans_lines = []

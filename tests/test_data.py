@@ -36,6 +36,28 @@ def test_mix_with_snr_achieves_snr(rng):
     assert abs(snr_est - 10.0) < 0.5
 
 
+def test_speed_perturb_length_and_pitch():
+    """factor f: length scales ~1/f and a pure tone lands at f0*f (Kaldi
+    speed-perturbation semantics); factor 1.0 is the identity."""
+    sr, f0 = 16000, 440.0
+    t = np.arange(4 * sr) / sr
+    tone = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+
+    assert D.speed_perturb(tone, 1.0) is not tone or True
+    np.testing.assert_array_equal(D.speed_perturb(tone, 1.0), tone)
+
+    for f in (0.9, 1.1):
+        out = D.speed_perturb(tone, f)
+        assert abs(len(out) - len(tone) / f) <= 2
+        spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+        peak_hz = np.argmax(spec) * sr / len(out)
+        assert abs(peak_hz - f0 * f) < 2.0, (f, peak_hz)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        D.speed_perturb(tone, 0.0)
+
+
 def test_dns_snr_mix_runs(rng):
     clean = rng.standard_normal(16000).astype(np.float32)
     noise = rng.standard_normal(16000).astype(np.float32)
