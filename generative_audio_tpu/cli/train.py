@@ -78,6 +78,17 @@ def main(argv=None):
         if multiprocess:
             trainer.state = D.replicate_from_coordinator(
                 dist_mesh, trainer.state)
+            # best-model scalars must also agree across ranks: save_best is
+            # a COLLECTIVE orbax save, so if best_score diverged (e.g. a
+            # resume from a non-shared checkpoint filesystem restored it on
+            # rank 0 only), only some ranks would enter the save and the
+            # rest would hang in orbax's barrier.
+            if getattr(trainer, "best_score", None) is not None:
+                import numpy as _np
+                from jax.experimental import multihost_utils
+                trainer.best_score = float(
+                    multihost_utils.broadcast_one_to_all(
+                        _np.float64(trainer.best_score)))
         return trainer
 
     from generative_audio_tpu.data import BatchLoader

@@ -35,7 +35,7 @@ def speed_perturb(wav: np.ndarray, factor: float) -> np.ndarray:
     if abs(factor - 1.0) < 1e-9:
         return np.asarray(wav, np.float32)
     from fractions import Fraction
-    frac = Fraction(factor).limit_denominator(100)
+    frac = Fraction(float(factor)).limit_denominator(100)
     # output_rate/input_rate = 1/factor: up = denominator, down = numerator
     return signal.resample_poly(
         np.asarray(wav, np.float32), frac.denominator, frac.numerator

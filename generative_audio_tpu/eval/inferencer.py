@@ -74,7 +74,10 @@ class Inferencer:
                         length=length)
 
     def _chunk_model_is_waveform(self) -> bool:
-        """Resolve the overlapped_chunk model kind (config.chunk_model)."""
+        """Resolve the overlapped_chunk model kind (config.chunk_model).
+        The 'auto' answer is cached: it is invariant per Inferencer, and
+        for *args applies each evaluation costs two abstract traces of the
+        full model."""
         mode = self.config.chunk_model
         if mode == "waveform":
             return True
@@ -83,6 +86,14 @@ class Inferencer:
         if mode != "auto":
             raise ValueError(f"chunk_model must be waveform/spectral/auto, "
                              f"got {mode!r}")
+        cached = getattr(self, "_chunk_model_waveform_cache", None)
+        if cached is not None:
+            return cached
+        result = self._probe_chunk_model()
+        self._chunk_model_waveform_cache = result
+        return result
+
+    def _probe_chunk_model(self) -> bool:
         import inspect
         try:
             params = list(inspect.signature(self.apply).parameters.values())

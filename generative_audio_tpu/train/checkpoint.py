@@ -24,8 +24,10 @@ def _to_saveable(tree):
     return jax.tree.map(np.asarray, tree)
 
 
-def _is_coordinator() -> bool:
-    return jax.process_index() == 0
+# The shared rank-0 predicate (kept as a module global so tests can
+# monkeypatch the gating without touching jax itself).
+from generative_audio_tpu.parallel.distributed import (  # noqa: E402
+    is_coordinator as _is_coordinator)
 
 
 class CheckpointManager:

@@ -288,13 +288,16 @@ class EnhanceTrainer:
                                                     np.float32)
                     self.ckpt.save_latest(tree, step)
         if self.ckpt:
-            from generative_audio_tpu.utils.report import (
-                write_training_report)
-            write_training_report(
-                self.ckpt.directory / "report.html", "enhancement training",
-                self.loss_history, self.val_history,
-                {"best_composite": self.best_score,
-                 "steps": int(self.state.step)})
+            from generative_audio_tpu.train.checkpoint import _is_coordinator
+            if _is_coordinator():   # plain-file write: rank 0 only
+                from generative_audio_tpu.utils.report import (
+                    write_training_report)
+                write_training_report(
+                    self.ckpt.directory / "report.html",
+                    "enhancement training",
+                    self.loss_history, self.val_history,
+                    {"best_composite": self.best_score,
+                     "steps": int(self.state.step)})
 
     def restore_latest(self) -> bool:
         """Resume from the latest checkpoint — the reference's `-R` flag

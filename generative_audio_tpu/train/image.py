@@ -101,7 +101,9 @@ class _ImageTrainerBase:
                 self.ckpt.save_best({"params": self.best_params,
                                      "step": np.asarray(step)},
                                     self.best_score, step)
-            self.write_report(self.ckpt.directory / "report.html")
+            from generative_audio_tpu.train.checkpoint import _is_coordinator
+            if _is_coordinator():   # plain-file write: rank 0 only
+                self.write_report(self.ckpt.directory / "report.html")
         return self.loss_history
 
     def write_report(self, path):

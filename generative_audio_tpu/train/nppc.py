@@ -256,11 +256,13 @@ class NPPCInpaintingTrainer:
         if final:
             ts = time.strftime("%Y%m%d_%H%M%S")
             self.ckpt.save_step(tree, step)
-            (Path(self.ckpt.directory) / f"metrics_final_{ts}.json"
-             ).write_text(json.dumps({
-                 "timestamp": ts, "total_steps": step,
-                 "final_loss": self.loss_history[-1]
-                 if self.loss_history else None}, indent=4))
+            from generative_audio_tpu.train.checkpoint import _is_coordinator
+            if _is_coordinator():   # plain-file write: rank 0 only
+                (Path(self.ckpt.directory) / f"metrics_final_{ts}.json"
+                 ).write_text(json.dumps({
+                     "timestamp": ts, "total_steps": step,
+                     "final_loss": self.loss_history[-1]
+                     if self.loss_history else None}, indent=4))
 
     def restore_latest(self) -> bool:
         """Resume from the latest checkpoint (`-R`); partial=True tolerates
@@ -389,13 +391,15 @@ class NPPCDenoisingTrainer:
         if final:
             ts = time.strftime("%Y%m%d_%H%M%S")
             self.ckpt.save_step(tree, step)
-            (Path(self.ckpt.directory) / f"metrics_final_{ts}.json"
-             ).write_text(json.dumps({
-                 "timestamp": ts, "total_steps": step,
-                 "final_objective": self.loss_history[-1]
-                 if self.loss_history else None,
-                 "final_reconst_err": self.reconst_err_history[-1]
-                 if self.reconst_err_history else None}, indent=4))
+            from generative_audio_tpu.train.checkpoint import _is_coordinator
+            if _is_coordinator():   # plain-file write: rank 0 only
+                (Path(self.ckpt.directory) / f"metrics_final_{ts}.json"
+                 ).write_text(json.dumps({
+                     "timestamp": ts, "total_steps": step,
+                     "final_objective": self.loss_history[-1]
+                     if self.loss_history else None,
+                     "final_reconst_err": self.reconst_err_history[-1]
+                     if self.reconst_err_history else None}, indent=4))
 
     def restore_latest(self) -> bool:
         """Resume from the latest checkpoint (`-R`)."""

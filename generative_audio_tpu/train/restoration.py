@@ -139,12 +139,14 @@ class RestorationTrainer:
         if final:
             ts = time.strftime("%Y%m%d_%H%M%S")
             self.ckpt.save_step(tree, step)
-            metrics = {"timestamp": ts, "total_steps": step,
-                       "final_loss": (self.loss_history[-1]
-                                      if self.loss_history else None)}
-            (Path(self.ckpt.directory)
-             / f"metrics_final_{ts}.json").write_text(
-                json.dumps(metrics, indent=4))
+            from generative_audio_tpu.train.checkpoint import _is_coordinator
+            if _is_coordinator():   # plain-file write: rank 0 only
+                metrics = {"timestamp": ts, "total_steps": step,
+                           "final_loss": (self.loss_history[-1]
+                                          if self.loss_history else None)}
+                (Path(self.ckpt.directory)
+                 / f"metrics_final_{ts}.json").write_text(
+                    json.dumps(metrics, indent=4))
 
     def restore_latest(self):
         tree = {"params": self.state.params,

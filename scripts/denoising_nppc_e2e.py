@@ -123,6 +123,11 @@ def train(steps: int, lr: float = 3e-4):
         if o_stride == 1 and o_start + len(o_obj) == start_step:
             hist["objective"] = o_obj + hist["objective"]
             hist["start_step"] = o_start
+            # wall time accumulates across segments too, or report()
+            # would divide whole-run steps by the last segment's minutes
+            hist["seconds"] = float(old.get("seconds", 0.0)) + dt
+            hist["ms_per_step"] = (1000 * hist["seconds"]
+                                   / max(total_steps - o_start, 1))
         else:
             hist["note"] = (f"history begins at step {start_step} (prior "
                             f"segment incompatible: stride {o_stride}, "
@@ -216,7 +221,8 @@ def report():
         f"(first 20 samples{f' from step {start}' if start else ''}) -> "
         f"{np.mean(obj[-20:]):.4f} (last 20); milestones "
         + ", ".join(f"step {s}: {at_step(s):.4f}"
-                    for s in (500, 3000, 10000, 20000, 30000, 45000, n_steps)
+                    for s in dict.fromkeys(
+                        (500, 3000, 10000, 20000, 30000, 45000, n_steps))
                     if at_step(s) is not None)
         + " — monotone descent over the whole run (the head was trained "
         "from scratch; the reference's exploratory denoising line has no "

@@ -305,6 +305,7 @@ def train(epochs: int, tag: str = ""):
         "noisy_baseline": baseline(val_ds),
         "final_best_model_hard": final_hard,
         "noisy_baseline_hard": baseline(val_hard_ds),
+        "n_noise_types": len(list((ROOT / "train" / "noise").glob("*.wav"))),
     }
     ARTIFACTS.mkdir(parents=True, exist_ok=True)
     (ARTIFACTS / f"training_summary{tag}.json").write_text(
@@ -315,8 +316,10 @@ def train(epochs: int, tag: str = ""):
 # ----------------------------------------------------------------- report --
 def report():
     s = json.loads((ARTIFACTS / "training_summary.json").read_text())
+    # noise-bank size: live corpus if present, else what the summary
+    # recorded at train time (report() may run on a cleaned machine)
     noise_files = sorted((ROOT / "train" / "noise").glob("*.wav"))
-    n_noise = len(noise_files) or 6
+    n_noise = len(noise_files) or int(s.get("n_noise_types", 12))
 
     def table(fin, base):
         return [

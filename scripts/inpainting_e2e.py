@@ -276,10 +276,13 @@ def validate(n_samples: int):
                 in_channels=2, out_channels=5, n_dirs=5)),
         num_freqs=128, num_frames=256)
     trainer = NPPCInpaintingTrainer(cfg)
+    # partial=True: the checkpoint also carries opt_state (resume support);
+    # the validator only consumes params/batch_stats — the artifact-consumer
+    # restore path.
     restored = CheckpointManager(str(NPPC_CKPT)).restore(
         "latest", {"params": trainer.state.params,
                    "batch_stats": trainer.state.batch_stats,
-                   "step": 0})
+                   "step": 0}, partial=True)
     assert restored is not None, "run train-nppc first"
     nppc_vars = {"params": restored["params"],
                  "batch_stats": restored["batch_stats"]}

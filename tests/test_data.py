@@ -43,8 +43,9 @@ def test_speed_perturb_length_and_pitch():
     t = np.arange(4 * sr) / sr
     tone = np.sin(2 * np.pi * f0 * t).astype(np.float32)
 
-    assert D.speed_perturb(tone, 1.0) is not tone or True
     np.testing.assert_array_equal(D.speed_perturb(tone, 1.0), tone)
+
+    assert len(D.speed_perturb(tone, np.float32(0.9))) > len(tone)
 
     for f in (0.9, 1.1):
         out = D.speed_perturb(tone, f)
