@@ -307,11 +307,24 @@ def validate(n_samples: int):
     validator = NPPCValidator(nppc_apply, nppc_vars, rest_apply, rest_vars,
                               vcfg)
 
+    # per-index seeding makes ds[i] deterministic, so wrapping past len(ds)
+    # must REBUILD the dataset with a new seed per pass — otherwise
+    # sample i and i+len(ds) are bit-identical (same subsample + mask) and
+    # the report double-counts utterances
     ds = AudioInpaintingDataset(dataset_config("val", seed=123))
+    datasets = {0: ds}
+
+    def val_item(i):
+        pass_idx = i // len(ds)
+        if pass_idx not in datasets:
+            datasets[pass_idx] = AudioInpaintingDataset(
+                dataset_config("val", seed=123 + 1000 * pass_idx))
+        return datasets[pass_idx][i % len(ds)]
+
     cpu = jax.devices("cpu")[0]
     reports = []
     for i in range(n_samples):
-        item = ds[i % len(ds)]
+        item = val_item(i)
         with jax.default_device(cpu):
             clean_norm, mask4, masked_norm, mean, std = preprocess_data(
                 jnp.asarray(item.stft_clean[None]),
