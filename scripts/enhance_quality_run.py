@@ -388,15 +388,103 @@ def report():
         "base_trainer.py): the model is validation-plateaued at this "
         "data scale and fixed lr, not under-trained.",
     ]
+    ft_path = ARTIFACTS / "training_summary_ft.json"
+    if ft_path.exists():
+        ft = json.loads(ft_path.read_text())
+        verdict = ("fine-tuning improved the best composite to "
+                   f"{ft['best_composite']:.4f}" if ft["improved_over_base"]
+                   else "no fine-tune validation beat the base best — "
+                   "best-model selection kept the base checkpoint")
+        lines += [
+            "",
+            "## Fine-tune stage (Trainer_Finetune semantics)",
+            "",
+            f"Preloaded the base run's best params (`finetune` stage, "
+            f"lr {ft['lr']:g}, {ft['epochs']} epochs; reference "
+            "`_preload_model` strict=False fine-tune path, "
+            f"base_trainer.py:112-127): {verdict}. Final best-model "
+            "held-out metrics: SI-SDR "
+            f"{ft['final_best_model']['SI_SDR']:.2f} dB / STOI "
+            f"{ft['final_best_model']['STOI']:.4f} (train-noise types), "
+            f"SI-SDR {ft['final_best_model_hard']['SI_SDR']:.2f} dB / "
+            f"STOI {ft['final_best_model_hard']['STOI']:.4f} "
+            "(unseen noise).",
+        ]
     (ARTIFACTS / "REPORT.md").write_text("\n".join(lines) + "\n")
     print((ARTIFACTS / "REPORT.md").read_text())
+
+
+def finetune(epochs: int, lr: float = 2e-5, base_tag: str = "",
+             tag: str = "_ft"):
+    """Fine-tune stage: preload the base run's BEST params at a lower lr
+    (reference Trainer_Finetune + _preload_model strict=False semantics,
+    base_trainer.py:112-127) — the legitimate lever against the fixed-lr
+    validation plateau recorded in the run history. Carries the base run's
+    best composite over, so 'best' still means best overall."""
+    import jax
+    from generative_audio_tpu.train import EnhanceTrainConfig, EnhanceTrainer
+    from generative_audio_tpu.train.checkpoint import CheckpointManager
+    from generative_audio_tpu.utils.tracking import ExperimentTracker
+
+    print(f"backend={jax.default_backend()}, finetune lr={lr}")
+    cfg = EnhanceTrainConfig(learning_rate=lr)
+    loader = stage_mixture_pool(200, seed=11)
+    val_ds = PairFileDataset(ROOT / "val")
+    val_hard_ds = PairFileDataset(ROOT / "val_hard")
+
+    ckpt_dir = ROOT / f"ckpt{tag}"
+    tracker = ExperimentTracker(str(ARTIFACTS / "runs"),
+                                f"enhance_quality{tag}")
+    trainer = EnhanceTrainer(cfg, checkpoint_dir=str(ckpt_dir),
+                             tracker=tracker)
+    if trainer.restore_latest():
+        print(f"resumed finetune from step {int(trainer.state.step)}")
+    else:
+        base_mgr = CheckpointManager(str(ROOT / f"ckpt{base_tag}"))
+        base = base_mgr.restore("best", {"params": trainer.state.params},
+                                partial=True)
+        assert base is not None, "run the base train stage first"
+        trainer.state = trainer.state.replace(params=base["params"])
+        base_best = base_mgr.best_score()
+        if base_best is not None:
+            trainer.best_score = float(base_best)
+        print(f"preloaded base best params "
+              f"(composite {trainer.best_score:.4f})")
+
+    t0 = time.time()
+    trainer.train(loader, epochs=epochs, val_dataset=val_ds,
+                  validation_interval=4, log=print)
+    dt = time.time() - t0
+
+    best = CheckpointManager(str(ckpt_dir)).restore(
+        "best", {"params": trainer.state.params}, partial=True)
+    improved = best is not None
+    if not improved:   # nothing beat the carried-over base best: report IT
+        best = CheckpointManager(str(ROOT / f"ckpt{base_tag}")).restore(
+            "best", {"params": trainer.state.params}, partial=True)
+    trainer.state = trainer.state.replace(params=best["params"])
+    final = trainer.validate(val_ds, max_items=len(val_ds))
+    final_hard = trainer.validate(val_hard_ds, max_items=len(val_hard_ds))
+    summary = {
+        "epochs": epochs, "lr": lr, "seconds": dt,
+        "improved_over_base": improved and
+        trainer.best_score > (CheckpointManager(
+            str(ROOT / f"ckpt{base_tag}")).best_score() or -1e9),
+        "best_composite": trainer.best_score,
+        "final_best_model": final, "final_best_model_hard": final_hard,
+        "val_history": trainer.val_history,
+    }
+    (ARTIFACTS / f"training_summary{tag}.json").write_text(
+        json.dumps(summary, indent=2, default=float))
+    print(json.dumps(summary, indent=2, default=float))
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "stage", choices=["corpus", "augment", "train", "report"])
+        "stage", choices=["corpus", "augment", "train", "finetune", "report"])
     parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--lr", type=float, default=2e-5)
     parser.add_argument("--tag", default="",
                         help="suffix for ckpt dir / tracker run / summary")
     args = parser.parse_args()
@@ -406,6 +494,8 @@ def main():
         augment_noise()
     elif args.stage == "train":
         train(args.epochs, args.tag)
+    elif args.stage == "finetune":
+        finetune(args.epochs, lr=args.lr)
     else:
         report()
 
