@@ -101,10 +101,19 @@ class Inferencer:
             params = None
         if params is not None and not any(p.kind is p.VAR_POSITIONAL
                                           for p in params):
-            n_positional = sum(
-                p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-                for p in params)
-            return n_positional <= 2   # (variables, wav) -> waveform model
+            pos = [p for p in params
+                   if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+            # Defaulted params are OPTIONAL: (variables, wav, train=False)
+            # is a perfectly good waveform model. A convention is callable
+            # iff n_required <= arity <= n_max.
+            n_required = sum(p.default is p.empty for p in pos)
+            n_max = len(pos)
+            wav_callable = n_required <= 2 <= n_max      # (variables, wav)
+            spec_callable = n_required <= 4 <= n_max     # (v, mag, real, imag)
+            if wav_callable != spec_callable:
+                return wav_callable
+            # Both callable (e.g. (v, wav, sr=None, pad=None)) or neither:
+            # arity cannot decide — fall through to the shape probe.
         # *args wrappers (e.g. cli/inference.py's `lambda v, *inputs`) hide
         # the arity. Probe both calling conventions ABSTRACTLY with
         # jax.eval_shape — no device compute, and unlike the old

@@ -164,3 +164,33 @@ class CheckpointManager:
         if not path.exists():
             return None
         return json.loads(path.read_text())["score"]
+
+
+def resume_latest(ckpt: Optional["CheckpointManager"], state,
+                  fields=("params", "opt_state"), extra=None,
+                  partial: bool = True):
+    """Shared resume-from-'latest' used by every trainer (the reference's
+    `-R` flag, base_trainer.py:129-158).
+
+    Restores `step` plus the named TrainState `fields` (and any `extra`
+    tree entries, e.g. best_score) into a copy of `state`. Returns
+    (new_state, restored_dict), or (None, None) when there is nothing to
+    resume. One implementation so resume semantics — partial tolerance of
+    older checkpoint layouts, step dtype — stay uniform across trainers.
+    """
+    if not ckpt:
+        return None, None
+    tree = {f: getattr(state, f) for f in fields}
+    tree["step"] = np.asarray(0)
+    if extra:
+        tree.update(extra)
+    restored = ckpt.restore("latest", tree, partial=partial)
+    if restored is None:
+        return None, None
+    import jax.numpy as jnp
+    new_state = state.replace(step=jnp.asarray(restored["step"]),
+                              **{f: restored[f] for f in fields})
+    return new_state, restored
+
+
+__all__.append("resume_latest")

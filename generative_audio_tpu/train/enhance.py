@@ -304,18 +304,13 @@ class EnhanceTrainer:
         (base_trainer.py:129-158: restores epoch/step, best_score and
         optimizer state). partial=True tolerates checkpoints written
         before best_score was added to the tree."""
-        if not self.ckpt:
+        from generative_audio_tpu.train.checkpoint import resume_latest
+        new_state, restored = resume_latest(
+            self.ckpt, self.state, ("params", "opt_state"),
+            extra={"best_score": np.asarray(self.best_score, np.float32)})
+        if new_state is None:
             return False
-        tree = {"params": self.state.params,
-                "opt_state": self.state.opt_state,
-                "step": np.asarray(0),
-                "best_score": np.asarray(self.best_score, np.float32)}
-        restored = self.ckpt.restore("latest", tree, partial=True)
-        if restored is None:
-            return False
-        self.state = self.state.replace(
-            params=restored["params"], opt_state=restored["opt_state"],
-            step=jnp.asarray(restored["step"]))
+        self.state = new_state
         # best_score.json (written by save_best) is authoritative when it is
         # newer than the latest tree — never resume with a stale lower score
         best_json = self.ckpt.best_score()

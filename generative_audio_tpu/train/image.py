@@ -54,8 +54,11 @@ class _ImageTrainerBase:
         """Keep the best-scoring params (auxil.py:399-416 update_best)."""
         if self.best_score is None or score < self.best_score:
             self.best_score = score
+            # Host copy, NOT an alias: the step jit donates the TrainState,
+            # so aliased device buffers would be deleted by the next step
+            # (CLAUDE.md: never keep a reference to a pre-step state).
             self.best_params = jax.tree_util.tree_map(
-                lambda x: x, self.state.params)
+                lambda x: np.array(x), self.state.params)
             return True
         return False
 

@@ -267,19 +267,12 @@ class NPPCInpaintingTrainer:
     def restore_latest(self) -> bool:
         """Resume from the latest checkpoint (`-R`); partial=True tolerates
         checkpoints written before opt_state joined the tree."""
-        if not self.ckpt:
+        from generative_audio_tpu.train.checkpoint import resume_latest
+        new_state, _ = resume_latest(
+            self.ckpt, self.state, ("params", "batch_stats", "opt_state"))
+        if new_state is None:
             return False
-        tree = {"params": self.state.params,
-                "batch_stats": self.state.batch_stats,
-                "opt_state": self.state.opt_state,
-                "step": np.asarray(0)}
-        restored = self.ckpt.restore("latest", tree, partial=True)
-        if restored is None:
-            return False
-        self.state = self.state.replace(
-            params=restored["params"], batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"],
-            step=jnp.asarray(restored["step"]))
+        self.state = new_state
         return True
 
 
@@ -403,15 +396,10 @@ class NPPCDenoisingTrainer:
 
     def restore_latest(self) -> bool:
         """Resume from the latest checkpoint (`-R`)."""
-        if not self.ckpt:
+        from generative_audio_tpu.train.checkpoint import resume_latest
+        new_state, _ = resume_latest(self.ckpt, self.state,
+                                     ("params", "opt_state"))
+        if new_state is None:
             return False
-        tree = {"params": self.state.params,
-                "opt_state": self.state.opt_state,
-                "step": np.asarray(0)}
-        restored = self.ckpt.restore("latest", tree, partial=True)
-        if restored is None:
-            return False
-        self.state = self.state.replace(
-            params=restored["params"], opt_state=restored["opt_state"],
-            step=jnp.asarray(restored["step"]))
+        self.state = new_state
         return True

@@ -149,15 +149,10 @@ class RestorationTrainer:
                     json.dumps(metrics, indent=4))
 
     def restore_latest(self):
-        tree = {"params": self.state.params,
-                "batch_stats": self.state.batch_stats,
-                "opt_state": self.state.opt_state,
-                "step": np.asarray(0)}
-        restored = self.ckpt.restore("latest", tree)
-        if restored is None:
+        from generative_audio_tpu.train.checkpoint import resume_latest
+        new_state, _ = resume_latest(
+            self.ckpt, self.state, ("params", "batch_stats", "opt_state"))
+        if new_state is None:
             return False
-        self.state = self.state.replace(
-            params=restored["params"], batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"],
-            step=jnp.asarray(restored["step"]))
+        self.state = new_state
         return True

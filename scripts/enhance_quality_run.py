@@ -262,8 +262,10 @@ def train(epochs: int, tag: str = ""):
                                 f"enhance_quality{tag}")
     trainer = EnhanceTrainer(cfg, checkpoint_dir=str(ckpt_dir),
                              tracker=tracker)
+    start_step = 0
     if trainer.restore_latest():
-        print(f"resumed from step {int(trainer.state.step)}, "
+        start_step = int(trainer.state.step)
+        print(f"resumed from step {start_step}, "
               f"best composite {trainer.best_score:.4f}")
 
     t0 = time.time()
@@ -271,6 +273,9 @@ def train(epochs: int, tag: str = ""):
                   validation_interval=4, log=print)
     dt = time.time() - t0
     steps = int(trainer.state.step)
+    # throughput over THIS segment only: dt covers this invocation, so
+    # divide by the steps it ran, not the cumulative count after a resume
+    seg_steps = steps - start_step
 
     # final full validation with the BEST params restored
     from generative_audio_tpu.train.checkpoint import CheckpointManager
@@ -295,7 +300,8 @@ def train(epochs: int, tag: str = ""):
 
     summary = {
         "epochs": epochs, "steps": steps, "seconds": dt,
-        "ms_per_step": 1000 * dt / max(steps, 1),
+        "segment_steps": seg_steps,
+        "ms_per_step": 1000 * dt / max(seg_steps, 1),
         "backend": jax.default_backend(),
         "loss_first_epoch": trainer.loss_history[0],
         "loss_last_epoch": trainer.loss_history[-1],

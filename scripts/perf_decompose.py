@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _perf_common import timed as _timed
 from generative_audio_tpu.models.fullsubnet_plus import (
     FullSubNetPlus, FullSubNetPlusConfig)
 from generative_audio_tpu.ops.stft import stft_ri, istft_ri
@@ -38,17 +39,7 @@ REPS = int(os.environ.get("PD_REPS", "8"))
 
 
 def timed(name, fn, *args):
-    fn_j = jax.jit(fn)
-    out = fn_j(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[-1].ravel()[:8])  # warm + barrier
-    best = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        out = fn_j(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[-1].ravel()[:8])
-        best = min(best, time.perf_counter() - t0)
-    print(f"{name:12s} {best * 1e3:8.2f} ms", flush=True)
-    return name, best * 1e3
+    return _timed(name, fn, *args, reps=REPS, jit=True)
 
 
 def main():

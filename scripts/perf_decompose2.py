@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _perf_common import timed as _timed
+
 from generative_audio_tpu.models.fullsubnet_plus import FullSubNetPlusConfig
 from generative_audio_tpu.nn.recurrent import SequenceModel
 from generative_audio_tpu.nn.attention import make_channel_attention
@@ -32,16 +34,7 @@ REPS = int(os.environ.get("PD_REPS", "8"))
 
 
 def timed(name, fn_j, *args):
-    out = fn_j(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[-1].ravel()[:8])
-    best = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        out = fn_j(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[-1].ravel()[:8])
-        best = min(best, time.perf_counter() - t0)
-    print(f"{name:12s} {best * 1e3:8.2f} ms", flush=True)
-    return name, best * 1e3
+    return _timed(name, fn_j, *args, reps=REPS)
 
 
 def main():

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _perf_common import timed as _timed
+
 from generative_audio_tpu.ops.pallas_lstm import _lstm_pallas_call
 
 T, B, H = 628, 2304, 384
@@ -85,16 +87,7 @@ def lstm_unrolled(gates_x_tm, w_hh, block_b=576, block_t=2):
 
 
 def bench(name, fn, *args):
-    out = fn(*args)
-    np.asarray(out.ravel()[:8])
-    best = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(out.ravel()[:8])
-        best = min(best, time.perf_counter() - t0)
-    print(f"{name:24s} {best * 1e3:8.2f} ms", flush=True)
-    return best
+    return _timed(name, fn, *args, reps=REPS, width=24)[1] / 1e3
 
 
 def main():

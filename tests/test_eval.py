@@ -297,3 +297,36 @@ def test_chunk_model_auto_probe_var_positional():
     forced = Inferencer(lambda v, *inputs: inputs[0], {},
                         InferencerConfig(chunk_model="waveform"))
     assert forced._chunk_model_is_waveform() is True
+
+
+def test_chunk_model_auto_defaulted_params():
+    """Defaulted extra params are optional, not required: a waveform apply
+    (v, wav, train=False) must resolve to the waveform path (the arity
+    shortcut once counted defaults as positional and misrouted it to
+    spectral), and a 4-max-arity waveform apply falls through to the
+    shape probe instead of silently running the wrong pipeline."""
+    from generative_audio_tpu.eval.inferencer import (
+        Inferencer, InferencerConfig)
+
+    def wav_apply(v, wav, train=False):
+        assert wav.ndim == 2          # static: raises at abstract trace
+        return wav * 2.0
+
+    inf = Inferencer(wav_apply, {}, InferencerConfig())
+    assert inf._chunk_model_is_waveform() is True
+
+    def wav_apply4(v, wav, sr=16000, pad=None):
+        assert wav.ndim == 2
+        return wav * 2.0
+
+    # both conventions are arity-callable -> the shape probe must decide
+    # (spectral feeds 4-D mag/real/imag, which the ndim==2 assert rejects)
+    inf4 = Inferencer(wav_apply4, {}, InferencerConfig())
+    assert inf4._chunk_model_is_waveform() is True
+
+    def spec_apply5(v, mag, real, imag, train=False):
+        assert mag.ndim == 4
+        return mag
+
+    inf5 = Inferencer(spec_apply5, {}, InferencerConfig())
+    assert inf5._chunk_model_is_waveform() is False

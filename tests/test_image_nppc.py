@@ -405,3 +405,30 @@ def test_image_trainer_checkpoint_roundtrip(tmp_path):
         lambda a, b: float(jnp.abs(a - b).max()),
         t1.state.params, t2.state.params)
     assert max(jax.tree_util.tree_leaves(diff)) == 0.0
+
+
+def test_image_trainer_best_params_survive_donation(tmp_path):
+    """best_params captured at a NON-final benchmark must survive later
+    donated steps (the step jit donates the TrainState; an aliased
+    best-params tree would be deleted by the next step)."""
+    from generative_audio_tpu.train.image import ImageRestorationTrainer
+    model, cfg = _small_restoration()
+    trainer = ImageRestorationTrainer(cfg, model=model,
+                                      checkpoint_dir=tmp_path / "ck", seed=0)
+    x = np.stack([np.asarray(model.data_module.train_set[i])
+                  for i in range(4)])
+    trainer.step(x)
+    # capture best NOW, then run more donated steps: an aliased (uncopied)
+    # best tree would be deleted by the donation below.
+    assert trainer._maybe_update_best(0.0)     # 0.0 stays best forever
+    trainer.step(x)
+    trainer.step(x)
+    # reading the tree must not raise "Array has been deleted"
+    leaf_max = max(float(np.abs(np.asarray(x)).max())
+                   for x in jax.tree_util.tree_leaves(trainer.best_params))
+    assert np.isfinite(leaf_max)
+    # restore(use_best=True) exercises the saved-best path end to end
+    x = jnp.asarray(synthetic_digits(2, seed=3))
+    x_d = model.distort(x, jax.random.PRNGKey(4))
+    out = trainer.restore(x_d, use_best=True)
+    assert np.all(np.isfinite(np.asarray(out)))
