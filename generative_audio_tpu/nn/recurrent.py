@@ -25,6 +25,22 @@ from generative_audio_tpu.nn.tcn import TCNStack
 
 __all__ = ["LSTMLayer", "GRULayer", "SequenceModel"]
 
+# Above this resident-size the LSTM switches to the time-chunked hoisted
+# projection (ops/pallas_lstm.lstm_layer_tm_chunked): identical numerics,
+# one ~_GATES_CHUNK_BYTES gates slab at a time instead of the whole
+# [T, B, 4H] buffer. Measured (scripts/perf_batch_sweep.py, v5e): chunking
+# costs ~4% at batch 24 x 10 s and throughput does NOT grow past batch 24
+# (1993x/1925x/1766x at 24/32/48), so the trigger is set ABOVE the
+# batch-24 x 10 s working set (12.2 GB): chunking is a memory enabler for
+# long clips / oversize batches that previously OOMed, not the fast path.
+# Env overrides in GB (float): GAT_LSTM_GATES_GB (trigger),
+# GAT_LSTM_CHUNK_GB (per-chunk slab).
+import os as _os
+_GATES_BYTES_LIMIT = int(
+    float(_os.environ.get("GAT_LSTM_GATES_GB", "13.0")) * (1 << 30))
+_GATES_CHUNK_BYTES = int(
+    float(_os.environ.get("GAT_LSTM_CHUNK_GB", "2.0")) * (1 << 30))
+
 
 def _uniform_init(hidden_size: int):
     # torch RNN default: U(-1/sqrt(H), 1/sqrt(H))
@@ -87,6 +103,22 @@ class LSTMLayer(nn.Module):
             # HBM-resident copy (OOMs batch 16 x 10 s at F=257).
             b = x_tm.shape[1]
             b_pad = planned_batch(b)
+            t_len = x_tm.shape[0]
+            gates_bytes = t_len * b_pad * 4 * h * 2   # bf16
+            if gates_bytes > _GATES_BYTES_LIMIT:
+                # Long clips / big batches: time-chunked hoisted projection
+                # keeps only ~t_chunk/T of the gates buffer resident
+                # (numerically identical; ops/pallas_lstm.py). This is what
+                # lets 60 s clips and batch>=32 x 10 s fit one chip.
+                from generative_audio_tpu.ops.pallas_lstm import (
+                    lstm_layer_tm_chunked)
+                t_chunk = max(
+                    64, -(-_GATES_CHUNK_BYTES // (b_pad * 4 * h * 2)))
+                ys_tm = lstm_layer_tm_chunked(
+                    x_tm, w_ih, w_hh, bias, reverse, t_chunk,
+                    out_dtype=cdt, proj_dtype=pdt)
+                return (ys_tm if time_major
+                        else jnp.swapaxes(ys_tm, 0, 1))
             if b_pad != b:
                 x_tm = jnp.pad(x_tm, ((0, 0), (0, b_pad - b), (0, 0)))
             gates_tm = jnp.einsum(
@@ -172,6 +204,19 @@ class GRULayer(nn.Module):
             pdt = jnp.bfloat16 if pallas_available() else cdt
             b = x.shape[0]
             b_pad = planned_batch(b)   # see SequenceLSTM._scan
+            t_len = x.shape[1]
+            gates_bytes = t_len * b_pad * 3 * h * 2   # bf16
+            if gates_bytes > _GATES_BYTES_LIMIT:
+                # see the LSTM branch: time-chunked hoisted projection for
+                # shapes whose gates buffer would OOM
+                from generative_audio_tpu.ops.pallas_lstm import (
+                    gru_layer_tm_chunked)
+                t_chunk = max(
+                    64, -(-_GATES_CHUNK_BYTES // (b_pad * 3 * h * 2)))
+                ys_tm = gru_layer_tm_chunked(
+                    jnp.swapaxes(x, 0, 1), w_ih, w_hh, b_ih, b_hh,
+                    reverse, t_chunk, out_dtype=cdt, proj_dtype=pdt)
+                return jnp.swapaxes(ys_tm, 0, 1)
             if b_pad != b:
                 x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
             gates_tm = jnp.einsum(

@@ -39,6 +39,17 @@ re-ran the forward):
     accumulation — neutral-to-better under the ~7x run variance, kept for
     the shorter serial chain and VMEM headroom).
 
+Long sequences / oversize batches: `lstm_layer_tm_chunked` runs the SAME
+kernel over time-chunks with a carry-in/carry-out variant, hoisting the
+projection one ~2 GB slab at a time — bit-identical to the un-chunked path
+(bf16 gates either way) at ~t_chunk/T of the gates HBM. nn.recurrent
+switches to it automatically above a working-set threshold; measured on
+v5e it costs ~4% at the batch-24 x 10 s bench shape (so the fast path
+keeps the single-kernel route) and turns the formerly-OOM 60 s x batch-8
+serving shape into a 1547x compute-RTF / 234x end-to-end-serving program
+(scripts/perf_batch_sweep.py, scripts/perf_serving.py PS_SECONDS=60;
+numbers recorded in CLAUDE.md).
+
 Layout notes: gates are in torch order (i, f, g, o) to match
 nn.recurrent.LSTMLayer's fused weights.
 """
@@ -51,6 +62,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["lstm_scan_tm", "lstm_scan_reference_tm", "lstm_layer_tm",
+           "lstm_layer_tm_chunked", "gru_layer_tm_chunked",
            "gru_scan_tm", "gru_scan_reference_tm", "pallas_available"]
 
 
@@ -675,6 +687,168 @@ lstm_layer_tm.defvjp(_layer_fwd, _layer_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Chunked-time LSTM layer: per-chunk hoisted projection + a carry-in/
+# carry-out scan kernel. Same serial per-step work as lstm_scan_tm (the
+# fused-projection rejection above does not apply — the projection is still
+# ONE big MXU matmul per chunk), but the [T, B, 4H] gates buffer only ever
+# exists one chunk at a time, so peak HBM drops by ~T/t_chunk. This is what
+# lifts the batch>=24 x 10 s and the 60 s-clip OOM walls (CLAUDE.md: serving
+# previously auto-halved the bucket batch there).
+# ---------------------------------------------------------------------------
+def _lstm_carry_kernel(t_len, gx_ref, h0_ref, c0_ref, whh_ref,
+                       out_ref, hf_ref, cf_ref, h_scratch, c_scratch):
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[:] = h0_ref[:]
+        c_scratch[:] = c0_ref[:]
+
+    gates = gx_ref[0].astype(jnp.float32) + jnp.dot(
+        h_scratch[:].astype(jnp.bfloat16), whh_ref[:],
+        preferred_element_type=jnp.float32)
+    hsz = whh_ref.shape[0]
+    i = jax.nn.sigmoid(gates[:, :hsz])
+    f = jax.nn.sigmoid(gates[:, hsz:2 * hsz])
+    g = jnp.tanh(gates[:, 2 * hsz:3 * hsz])
+    o = jax.nn.sigmoid(gates[:, 3 * hsz:])
+    c = f * c_scratch[:] + i * g
+    h_new = o * jnp.tanh(c)
+    c_scratch[:] = c
+    h_scratch[:] = h_new
+    out_ref[0] = h_new.astype(out_ref.dtype)
+
+    @pl.when(t == t_len - 1)
+    def _():
+        hf_ref[:] = h_scratch[:]
+        cf_ref[:] = c_scratch[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "interpret", "out_dtype", "reverse"))
+def _lstm_pallas_call_carry(gates_x_tm, h0, c0, w_hh, block_b=256,
+                            interpret=False, out_dtype=jnp.bfloat16,
+                            reverse=False):
+    """One chunk with explicit state: gates [T, B_pad, 4H], h0/c0
+    [B_pad, H] fp32 -> (h_seq [T, B_pad, H], h_final, c_final fp32).
+
+    reverse=True consumes the chunk back-to-front (h0/c0 are then the
+    carries arriving from the LATER chunk)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_len, b_pad, g4 = gates_x_tm.shape
+    hsz = g4 // 4
+    n_blocks = b_pad // block_b
+
+    if reverse:
+        def time_map(b, t, _t=t_len):
+            return (_t - 1 - t, b, 0)
+    else:
+        def time_map(b, t):
+            return (t, b, 0)
+
+    def state_map(b, t):
+        return (b, 0)
+
+    state_spec = pl.BlockSpec((block_b, hsz), state_map,
+                              memory_space=pltpu.VMEM)
+    seq, h_f, c_f = pl.pallas_call(
+        functools.partial(_lstm_carry_kernel, t_len),
+        grid=(n_blocks, t_len),
+        in_specs=[
+            pl.BlockSpec((1, block_b, g4), time_map,
+                         memory_space=pltpu.VMEM),
+            state_spec, state_spec,
+            pl.BlockSpec((hsz, g4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_b, hsz), time_map,
+                         memory_space=pltpu.VMEM),
+            state_spec, state_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, b_pad, hsz), out_dtype),
+            jax.ShapeDtypeStruct((b_pad, hsz), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, hsz), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_b, hsz), jnp.float32),
+            pltpu.VMEM((block_b, hsz), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gates_x_tm, h0, c0, w_hh.astype(jnp.bfloat16))
+    return seq, h_f, c_f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def lstm_layer_tm_chunked(x_tm: jnp.ndarray, w_ih: jnp.ndarray,
+                          w_hh: jnp.ndarray, bias: jnp.ndarray,
+                          reverse: bool = False, t_chunk: int = 128,
+                          block_b: int = 576,
+                          interpret: Optional[bool] = None,
+                          out_dtype=jnp.bfloat16,
+                          proj_dtype=None) -> jnp.ndarray:
+    """Whole LSTM layer, time-major, time-CHUNKED hoisted projection:
+    x_tm [T, B, F], w_ih [F, 4H], w_hh [H, 4H], bias [4H] -> [T, B, H].
+
+    Numerically identical to the hoisted lstm_scan_tm path (same kernel
+    math, same bf16 gate rounding) with ~t_chunk/T of its peak gates HBM.
+    Under grad it falls back to the full hoisted projection + Pallas
+    backward (training clips are short; chunking is a memory lever for
+    long-clip/large-batch INFERENCE)."""
+    interp = (not pallas_available()) if interpret is None else interpret
+    t_len, b, _ = x_tm.shape
+    hsz = w_hh.shape[0]
+    block = _pick_block(b, block_b)
+    b_pad = _round_up(b, block)
+    x_p = _pad_batch(x_tm, b_pad)
+    # Projection dtype: bf16 on real TPU (matches the un-chunked path),
+    # fp32 in interpret mode — or whatever the caller's compute dtype is
+    # (proj_dtype), so chunked vs un-chunked are bit-comparable.
+    pdt = (proj_dtype if proj_dtype is not None
+           else (jnp.float32 if interp else jnp.bfloat16))
+    h = jnp.zeros((b_pad, hsz), jnp.float32)
+    c = jnp.zeros((b_pad, hsz), jnp.float32)
+    starts = list(range(0, t_len, t_chunk))
+    if reverse:          # carries flow from the later chunk backwards
+        starts = starts[::-1]
+    # Assemble via in-place dynamic-update-slice, NOT concatenate: concat
+    # would keep every chunk buffer live until the final copy (~2x the
+    # output in HBM); the sequential DUS chain updates one buffer in place.
+    out = jnp.zeros((t_len, b_pad, hsz), out_dtype)
+    for s in starts:
+        e = min(s + t_chunk, t_len)
+        gc = jnp.einsum(
+            "tbf,fg->tbg", x_p[s:e].astype(pdt), w_ih.astype(pdt),
+            preferred_element_type=jnp.float32) + bias
+        # bf16 gates ALWAYS — exactly what _forward_pallas feeds the
+        # un-chunked kernel, so the two paths are bit-comparable.
+        seq, h, c = _lstm_pallas_call_carry(
+            gc.astype(jnp.bfloat16), h, c, w_hh, block_b=block,
+            interpret=interp, out_dtype=out_dtype, reverse=reverse)
+        out = jax.lax.dynamic_update_slice(out, seq, (s, 0, 0))
+    return out[:, :b]
+
+
+def _chunked_fwd(x_tm, w_ih, w_hh, bias, reverse, t_chunk, block_b,
+                 interpret, out_dtype, proj_dtype):
+    return _layer_fwd(x_tm, w_ih, w_hh, bias, reverse, block_b, interpret,
+                      out_dtype)
+
+
+def _chunked_bwd(reverse, t_chunk, block_b, interpret, out_dtype,
+                 proj_dtype, residuals, g):
+    return _layer_bwd(reverse, block_b, interpret, out_dtype, residuals, g)
+
+
+lstm_layer_tm_chunked.defvjp(_chunked_fwd, _chunked_bwd)
+
+
+# ---------------------------------------------------------------------------
 # GRU: same hoisted-gates + fused-scan design as the LSTM kernel.
 # Torch gate order (r, z, n); the h-side candidate gate is r * (h @ W_hn +
 # b_hn), so the h-side bias b_hh CANNOT be folded into the x-side gates —
@@ -942,3 +1116,153 @@ def _gru_bwd(reverse, block_b, interpret, out_dtype, residuals, g):
 
 
 gru_scan_tm.defvjp(_gru_fwd, _gru_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Chunked-time GRU layer — same design as lstm_layer_tm_chunked (see that
+# section): per-chunk hoisted projection + carry-in/carry-out kernel, for
+# long-clip / oversize-batch inference that would otherwise OOM on the
+# [T, B, 3H] gates buffer.
+# ---------------------------------------------------------------------------
+def _gru_carry_kernel(t_len, gx_ref, h0_ref, whh_ref, bhh_ref,
+                      out_ref, hf_ref, h_scratch):
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[:] = h0_ref[:]
+
+    h_prev = h_scratch[:]
+    gates_h = jnp.dot(h_prev.astype(jnp.bfloat16), whh_ref[:],
+                      preferred_element_type=jnp.float32) + bhh_ref[:]
+    gx = gx_ref[0].astype(jnp.float32)
+    hsz = whh_ref.shape[0]
+    r = jax.nn.sigmoid(gx[:, :hsz] + gates_h[:, :hsz])
+    z = jax.nn.sigmoid(gx[:, hsz:2 * hsz] + gates_h[:, hsz:2 * hsz])
+    n = jnp.tanh(gx[:, 2 * hsz:] + r * gates_h[:, 2 * hsz:])
+    h_new = (1.0 - z) * n + z * h_prev
+    h_scratch[:] = h_new
+    out_ref[0] = h_new.astype(out_ref.dtype)
+
+    @pl.when(t == t_len - 1)
+    def _():
+        hf_ref[:] = h_scratch[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "interpret", "out_dtype", "reverse"))
+def _gru_pallas_call_carry(gates_x_tm, h0, w_hh, b_hh, block_b=256,
+                           interpret=False, out_dtype=jnp.bfloat16,
+                           reverse=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_len, b_pad, g3 = gates_x_tm.shape
+    hsz = g3 // 3
+    n_blocks = b_pad // block_b
+
+    if reverse:
+        def time_map(b, t, _t=t_len):
+            return (_t - 1 - t, b, 0)
+    else:
+        def time_map(b, t):
+            return (t, b, 0)
+
+    state_spec = pl.BlockSpec((block_b, hsz), lambda b, t: (b, 0),
+                              memory_space=pltpu.VMEM)
+    seq, h_f = pl.pallas_call(
+        functools.partial(_gru_carry_kernel, t_len),
+        grid=(n_blocks, t_len),
+        in_specs=[
+            pl.BlockSpec((1, block_b, g3), time_map,
+                         memory_space=pltpu.VMEM),
+            state_spec,
+            pl.BlockSpec((hsz, g3), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_b, hsz), time_map,
+                         memory_space=pltpu.VMEM),
+            state_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, b_pad, hsz), out_dtype),
+            jax.ShapeDtypeStruct((b_pad, hsz), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_b, hsz), jnp.float32)],
+        interpret=interpret,
+    )(gates_x_tm, h0, w_hh.astype(jnp.bfloat16),
+      b_hh.reshape(1, -1).astype(jnp.float32))
+    return seq, h_f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def gru_layer_tm_chunked(x_tm: jnp.ndarray, w_ih: jnp.ndarray,
+                         w_hh: jnp.ndarray, b_ih: jnp.ndarray,
+                         b_hh: jnp.ndarray, reverse: bool = False,
+                         t_chunk: int = 128, block_b: int = 576,
+                         interpret: Optional[bool] = None,
+                         out_dtype=jnp.bfloat16,
+                         proj_dtype=None) -> jnp.ndarray:
+    """Whole GRU layer, time-major, time-chunked hoisted projection:
+    x_tm [T, B, F] -> [T, B, H]. Bit-identical to the gru_scan_tm path;
+    see lstm_layer_tm_chunked for the memory rationale."""
+    interp = (not pallas_available()) if interpret is None else interpret
+    t_len, b, _ = x_tm.shape
+    hsz = w_hh.shape[0]
+    block = _pick_block(b, block_b)
+    b_pad = _round_up(b, block)
+    x_p = _pad_batch(x_tm, b_pad)
+    pdt = (proj_dtype if proj_dtype is not None
+           else (jnp.float32 if interp else jnp.bfloat16))
+    h = jnp.zeros((b_pad, hsz), jnp.float32)
+    starts = list(range(0, t_len, t_chunk))
+    if reverse:
+        starts = starts[::-1]
+    out = jnp.zeros((t_len, b_pad, hsz), out_dtype)
+    for s in starts:
+        e = min(s + t_chunk, t_len)
+        gc = jnp.einsum(
+            "tbf,fg->tbg", x_p[s:e].astype(pdt), w_ih.astype(pdt),
+            preferred_element_type=jnp.float32) + b_ih
+        seq, h = _gru_pallas_call_carry(
+            gc.astype(jnp.bfloat16), h, w_hh, b_hh, block_b=block,
+            interpret=interp, out_dtype=out_dtype, reverse=reverse)
+        out = jax.lax.dynamic_update_slice(out, seq, (s, 0, 0))
+    return out[:, :b]
+
+
+def _gru_chunked_fwd(x_tm, w_ih, w_hh, b_ih, b_hh, reverse, t_chunk,
+                     block_b, interpret, out_dtype, proj_dtype):
+    """Grad path: full hoisted projection + the gates-level Pallas fwd."""
+    interp = (not pallas_available()) if interpret is None else interpret
+    pdt = (proj_dtype if proj_dtype is not None
+           else (jnp.float32 if interp else jnp.bfloat16))
+    gates = jnp.einsum(
+        "tbf,fg->tbg", x_tm.astype(pdt), w_ih.astype(pdt),
+        preferred_element_type=jnp.float32) + b_ih
+    out, res = _gru_fwd(gates.astype(pdt), w_hh, b_hh, reverse, block_b,
+                        interpret, out_dtype)
+    return out, (x_tm, w_ih, b_ih, res)
+
+
+def _gru_chunked_bwd(reverse, t_chunk, block_b, interpret, out_dtype,
+                     proj_dtype, residuals, g):
+    x_tm, w_ih, b_ih, res = residuals
+    dgx, dwhh, dbhh = _gru_bwd(reverse, block_b, interpret, out_dtype,
+                               res, g)
+    dgx_bf = dgx.astype(jnp.bfloat16)
+    dx = jnp.einsum("tbg,fg->tbf", dgx_bf, w_ih.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    dwi = jnp.einsum("tbf,tbg->fg", x_tm.astype(jnp.bfloat16), dgx_bf,
+                     preferred_element_type=jnp.float32)
+    dbih = jnp.sum(dgx.astype(jnp.float32), axis=(0, 1))
+    return (dx.astype(x_tm.dtype), dwi.astype(w_ih.dtype), dwhh,
+            dbih.reshape(b_ih.shape).astype(b_ih.dtype), dbhh)
+
+
+gru_layer_tm_chunked.defvjp(_gru_chunked_fwd, _gru_chunked_bwd)

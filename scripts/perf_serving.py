@@ -24,6 +24,7 @@ from generative_audio_tpu.eval.inferencer import Inferencer, InferencerConfig
 
 SR = 16000
 N_CLIPS = int(os.environ.get("PS_CLIPS", "24"))
+SECONDS = int(os.environ.get("PS_SECONDS", "10"))
 BATCH = int(os.environ.get("PS_BATCH", "8"))
 
 
@@ -47,11 +48,11 @@ def main():
                                  dummy)["params"]
 
     rng = np.random.default_rng(0)
-    clips = [rng.standard_normal(SR * 10).astype(np.float32) * 0.05
+    clips = [rng.standard_normal(SR * SECONDS).astype(np.float32) * 0.05
              for _ in range(N_CLIPS)]
 
     inf = Inferencer(model.apply, variables={"params": params},
-                     config=InferencerConfig(length_bucket=SR * 10))
+                     config=InferencerConfig(length_bucket=SR * SECONDS))
     with tempfile.TemporaryDirectory() as out:
         # warm pass (compile) then the timed pass
         inf.enhance_dir(_DS(clips[:BATCH]), out, batch_size=BATCH,
@@ -60,8 +61,8 @@ def main():
         inf.enhance_dir(_DS(clips), out, batch_size=BATCH,
                         log=lambda *a: None)
         wall = time.perf_counter() - t0
-    audio = N_CLIPS * 10.0
-    print(f"{N_CLIPS} clips x 10 s, batch {BATCH}: {wall:.2f} s wall, "
+    audio = N_CLIPS * float(SECONDS)
+    print(f"{N_CLIPS} clips x {SECONDS} s, batch {BATCH}: {wall:.2f} s wall, "
           f"serving RTF {audio / wall:.1f}x realtime "
           f"(inferencer rtf={inf.last_rtf:.5f})", flush=True)
 

@@ -300,3 +300,144 @@ def test_layer_backward_escape_hatch(rng):
     for a, c in zip(g_pallas, g_scan):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=2e-2, atol=2e-3)
+
+
+class TestChunkedLayer:
+    """Time-chunked hoisted projection (lstm_layer_tm_chunked): identical
+    numerics to the full-projection path at a fraction of the gates HBM."""
+
+    def _setup(self, t=37, b=12, f=20, h=16):
+        x = _rand((t, b, f), scale=0.3, seed=10)
+        wi = _rand((f, 4 * h), scale=0.2, seed=11)
+        wh = _rand((h, 4 * h), scale=0.2, seed=12)
+        bias = _rand((4 * h,), scale=0.1, seed=13)
+        return x, wi, wh, bias
+
+    def test_matches_unchunked_bitwise_and_reference(self):
+        from generative_audio_tpu.ops.pallas_lstm import (
+            lstm_layer_tm_chunked, lstm_scan_tm, _layer_reference)
+        x, wi, wh, bias = self._setup()
+        for reverse in (False, True):
+            # the production un-chunked path: hoisted fp32 projection,
+            # bf16 gates into the kernel
+            gates = jnp.einsum("tbf,fg->tbg", x, wi,
+                               preferred_element_type=jnp.float32) + bias
+            want = np.asarray(lstm_scan_tm(gates, wh, reverse, 576, True,
+                                           jnp.float32))
+            ref = np.asarray(_layer_reference(x, wi, wh, bias, reverse))
+            for t_chunk in (8, 16, 37, 64):   # ragged + whole + oversize
+                got = np.asarray(lstm_layer_tm_chunked(
+                    x, wi, wh, bias, reverse, t_chunk, 576, True,
+                    jnp.float32))
+                # chunking must not change the numerics AT ALL
+                np.testing.assert_array_equal(
+                    got, want, err_msg=f"{reverse=} {t_chunk=}")
+                # and both stay close to the fp32 lax.scan reference
+                np.testing.assert_allclose(got, ref, atol=8e-3,
+                                           err_msg=f"{reverse=} {t_chunk=}")
+
+    def test_grad_delegates_to_full_projection_backward(self):
+        from generative_audio_tpu.ops.pallas_lstm import (
+            lstm_layer_tm_chunked, _layer_reference)
+        x, wi, wh, bias = self._setup()
+        p = {"wi": wi, "wh": wh, "b": bias}
+
+        def loss_c(p):
+            return jnp.sum(lstm_layer_tm_chunked(
+                x, p["wi"], p["wh"], p["b"], False, 8, 576, True,
+                jnp.float32) ** 2)
+
+        def loss_r(p):
+            return jnp.sum(_layer_reference(
+                x, p["wi"], p["wh"], p["b"], False) ** 2)
+
+        g1, g2 = jax.grad(loss_c)(p), jax.grad(loss_r)(p)
+        for k in p:   # bf16 residuals in the Pallas backward: loose rel tol
+            rel = float(jnp.abs(g1[k] - g2[k]).max()
+                        / (jnp.abs(g2[k]).max() + 1e-9))
+            assert rel < 5e-2, (k, rel)
+
+    def test_lstm_layer_switches_to_chunked_path(self, monkeypatch):
+        """LSTMLayer takes the chunked route when the gates buffer would
+        exceed the limit, with unchanged outputs."""
+        from generative_audio_tpu.nn import recurrent as R
+        layer = LSTMLayer(hidden_size=16, use_pallas=True)
+        x = _rand((2, 70, 20), scale=0.3, seed=20)   # [B, T, F]
+        v = layer.init(jax.random.PRNGKey(0), x)
+        base = np.asarray(layer.apply(v, x))
+        called = {}
+        import generative_audio_tpu.ops.pallas_lstm as P
+        orig = P.lstm_layer_tm_chunked
+
+        def spy(*args, **kw):
+            called["yes"] = True
+            return orig(*args, **kw)
+
+        monkeypatch.setattr(P, "lstm_layer_tm_chunked", spy)
+        monkeypatch.setattr(R, "_GATES_BYTES_LIMIT", 1024)  # force chunking
+        got = np.asarray(layer.apply(v, x))
+        assert called.get("yes")
+        np.testing.assert_allclose(got, base, atol=2e-4)
+
+
+class TestChunkedGRULayer:
+    def _setup(self, t=37, b=12, f=20, h=16):
+        x = _rand((t, b, f), scale=0.3, seed=30)
+        wi = _rand((f, 3 * h), scale=0.2, seed=31)
+        wh = _rand((h, 3 * h), scale=0.2, seed=32)
+        bi = _rand((3 * h,), scale=0.1, seed=33)
+        bh = _rand((3 * h,), scale=0.1, seed=34)
+        return x, wi, wh, bi, bh
+
+    def test_matches_unchunked_bitwise(self):
+        from generative_audio_tpu.ops.pallas_lstm import (
+            gru_layer_tm_chunked, gru_scan_tm, gru_scan_reference_tm)
+        x, wi, wh, bi, bh = self._setup()
+        for reverse in (False, True):
+            gates = jnp.einsum("tbf,fg->tbg", x, wi,
+                               preferred_element_type=jnp.float32) + bi
+            want = np.asarray(gru_scan_tm(gates, wh, bh, reverse, 576, True,
+                                          jnp.float32))
+            ref = np.asarray(gru_scan_reference_tm(
+                gates.astype(jnp.float32), wh, bh, reverse=reverse))
+            for t_chunk in (8, 16, 37, 64):
+                got = np.asarray(gru_layer_tm_chunked(
+                    x, wi, wh, bi, bh, reverse, t_chunk, 576, True,
+                    jnp.float32))
+                np.testing.assert_array_equal(
+                    got, want, err_msg=f"{reverse=} {t_chunk=}")
+                np.testing.assert_allclose(got, ref, atol=8e-3)
+
+    def test_grad_matches_reference(self):
+        from generative_audio_tpu.ops.pallas_lstm import (
+            gru_layer_tm_chunked, gru_scan_reference_tm)
+        x, wi, wh, bi, bh = self._setup()
+        p = {"wi": wi, "wh": wh, "bi": bi, "bh": bh}
+
+        def loss_c(p):
+            return jnp.sum(gru_layer_tm_chunked(
+                x, p["wi"], p["wh"], p["bi"], p["bh"], False, 8, 576, True,
+                jnp.float32) ** 2)
+
+        def loss_r(p):
+            gates = jnp.einsum("tbf,fg->tbg", x, p["wi"],
+                               preferred_element_type=jnp.float32) + p["bi"]
+            return jnp.sum(gru_scan_reference_tm(
+                gates, p["wh"], p["bh"]) ** 2)
+
+        g1, g2 = jax.grad(loss_c)(p), jax.grad(loss_r)(p)
+        for k in p:
+            rel = float(jnp.abs(g1[k] - g2[k]).max()
+                        / (jnp.abs(g2[k]).max() + 1e-9))
+            assert rel < 5e-2, (k, rel)
+
+    def test_gru_layer_switches_to_chunked_path(self, monkeypatch):
+        from generative_audio_tpu.nn import recurrent as R
+        from generative_audio_tpu.nn.recurrent import GRULayer
+        layer = GRULayer(hidden_size=16, use_pallas=True)
+        x = _rand((2, 70, 20), scale=0.3, seed=40)
+        v = layer.init(jax.random.PRNGKey(0), x)
+        base = np.asarray(layer.apply(v, x))
+        monkeypatch.setattr(R, "_GATES_BYTES_LIMIT", 1024)
+        got = np.asarray(layer.apply(v, x))
+        np.testing.assert_allclose(got, base, atol=1e-6)
