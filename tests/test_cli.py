@@ -185,3 +185,28 @@ stft:
                        "-O", str(out), "--max_items", "2"])
     results = json.loads(out.read_text())
     assert "SI_SDR" in results and np.isfinite(results["SI_SDR"])
+
+
+def test_dump_config_roundtrip():
+    """dump_config -> build_dataclass round-trips a nested config."""
+    from generative_audio_tpu.utils.config import dump_config, build_dataclass
+    from generative_audio_tpu.models import FullSubNetPlusConfig
+    cfg = FullSubNetPlusConfig(num_freqs=33, look_ahead=1)
+    d = dump_config(cfg)
+    assert d["num_freqs"] == 33
+    back = build_dataclass(FullSubNetPlusConfig, d)
+    assert back == cfg
+    # plain-dict passthrough
+    assert dump_config({"a": 1}) == {"a": 1}
+
+
+def test_draw_hist(tmp_path):
+    from generative_audio_tpu.cli.tools import draw_hist
+    import numpy as np
+    rng = np.random.default_rng(0)
+    one = tmp_path / "one.png"
+    two = tmp_path / "two.png"
+    draw_hist(rng.standard_normal(100), one)
+    draw_hist(rng.standard_normal(100), two,
+              data2=rng.standard_normal(100) + 1, labels=("ref", "est"))
+    assert one.stat().st_size > 0 and two.stat().st_size > 0

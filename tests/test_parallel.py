@@ -138,3 +138,11 @@ class TestDryrunMultichip:
         monkeypatch.delenv("JAX_PLATFORMS", raising=False)
         monkeypatch.delenv("XLA_FLAGS", raising=False)
         ge.dryrun_multichip(8)
+
+
+def test_is_initialized_flag():
+    """Single-process runs report uninitialized; coordinator still resolves."""
+    from generative_audio_tpu.parallel import distributed as D
+    assert D.is_initialized() is False
+    assert D.is_coordinator() is True
+    assert D.process_index() == 0

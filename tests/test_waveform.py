@@ -1,0 +1,156 @@
+"""ops/waveform parity vs the reference's feature.py:98-253 and semantic
+tests for the two dataset-normalization/VAD helpers built on it.
+
+These are the host-side numpy utilities the data pipelines lean on; the
+reference implementations import directly (no torch checkpoints needed),
+so parity here is function-by-function on identical inputs.
+"""
+import numpy as np
+import pytest
+
+from generative_audio_tpu.ops import waveform as W
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _ref_feature():
+    from tests.reference_loader import load_reference
+    load_reference()
+    from FullSubNet_plus.speech_enhance.audio_zen.acoustics import feature
+    return feature
+
+
+class TestReferenceParity:
+    def test_norm_amplitude(self, rng):
+        ref = _ref_feature()
+        y = rng.standard_normal(1000).astype(np.float32) * 0.3
+        got, gs = W.norm_amplitude(y.copy())
+        want, ws = ref.norm_amplitude(y.copy())
+        assert gs == pytest.approx(ws)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # explicit scalar path
+        got2, gs2 = W.norm_amplitude(y.copy(), scalar=0.5)
+        want2, ws2 = ref.norm_amplitude(y.copy(), scalar=0.5)
+        assert gs2 == ws2 == 0.5
+        np.testing.assert_allclose(got2, want2, rtol=1e-6)
+
+    def test_tailor_db_fs(self, rng):
+        ref = _ref_feature()
+        y = rng.standard_normal(1600).astype(np.float64) * 0.1
+        got, g_rms, g_scalar = W.tailor_dB_FS(y.copy(), target_dB_FS=-25)
+        want, w_rms, w_scalar = ref.tailor_dB_FS(y.copy(), target_dB_FS=-25)
+        assert g_rms == pytest.approx(w_rms)
+        assert g_scalar == pytest.approx(w_scalar)
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+        # scaled signal actually sits at the target dBFS
+        rms_db = 20 * np.log10(np.sqrt(np.mean(got ** 2)))
+        assert rms_db == pytest.approx(-25, abs=0.01)
+
+    def test_is_clipped(self, rng):
+        ref = _ref_feature()
+        clean = rng.uniform(-0.5, 0.5, 100)
+        hot = clean.copy()
+        hot[3] = 1.5
+        for y in (clean, hot):
+            assert W.is_clipped(y) == bool(ref.is_clipped(y))
+
+    def test_subsample_deterministic_branches(self, rng):
+        ref = _ref_feature()
+        data = rng.standard_normal(100).astype(np.float32)
+        # fixed start: byte-identical crop
+        np.testing.assert_array_equal(
+            W.subsample(data.copy(), 30, start_position=7),
+            ref.subsample(data.copy(), 30, start_position=7))
+        # short input: zero-pad to length
+        short = data[:20]
+        np.testing.assert_array_equal(
+            W.subsample(short.copy(), 30, start_position=0),
+            ref.subsample(short.copy(), 30, start_position=0))
+        # equal length: passthrough
+        np.testing.assert_array_equal(
+            W.subsample(data.copy(), 100, start_position=0), data)
+        # return_start_position contract
+        out, start = W.subsample(data.copy(), 30, start_position=5,
+                                 return_start_position=True)
+        assert start == 5 and len(out) == 30
+
+    def test_aligned_subsample(self, rng):
+        ref = _ref_feature()
+        a = rng.standard_normal((4, 50)).astype(np.float32)
+        b = rng.standard_normal((4, 50)).astype(np.float32)
+        # pad branch (deterministic)
+        ga, gb = W.aligned_subsample(a.copy(), b.copy(), 64)
+        wa, wb = ref.aligned_subsample(a.copy(), b.copy(), 64)
+        np.testing.assert_array_equal(ga, wa)
+        np.testing.assert_array_equal(gb, wb)
+        # crop branch: same RANDOM start applied to both signals
+        crng = np.random.default_rng(3)
+        ga, gb = W.aligned_subsample(a.copy(), b.copy(), 30, rng=crng)
+        assert ga.shape == gb.shape == (4, 30)
+        # the two outputs are the SAME window of their sources
+        i = np.argwhere(
+            np.all(a[:, :, None] == ga[:, None, :][..., :1], axis=0))
+        starts = [s for s in range(50 - 30 + 1)
+                  if np.array_equal(a[..., s:s + 30], ga)]
+        assert len(starts) == 1
+        np.testing.assert_array_equal(b[..., starts[0]:starts[0] + 30], gb)
+
+    def test_overlap_cat(self, rng):
+        import torch
+        ref = _ref_feature()
+        chunks = [rng.standard_normal((2, 8)).astype(np.float32)
+                  for _ in range(4)]
+        got = W.overlap_cat([c.copy() for c in chunks])
+        want = ref.overlap_cat([torch.from_numpy(c) for c in chunks]).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_activity_detector(self, rng):
+        ref = _ref_feature()
+        # half silence-ish noise, half loud tone: a meaningful activity mix
+        t = np.arange(8000) / 16000
+        audio = np.concatenate([
+            rng.standard_normal(8000) * 1e-4,
+            np.sin(2 * np.pi * 440 * t) * 0.3,
+        ]).astype(np.float64)
+        got = W.activity_detector(audio.copy())
+        want = ref.activity_detector(audio.copy())
+        assert got == pytest.approx(want, abs=1e-9)
+        assert 0.3 < got < 0.7          # roughly half active
+
+
+class TestDatasetHelpers:
+    def test_normalize_to_dbfs_hits_target(self, rng):
+        y = rng.standard_normal(16000) * 0.01
+        out = W.normalize_to_dbfs(y, target_dB_FS=-25.0)
+        rms_db = 20 * np.log10(np.sqrt(np.mean(out ** 2)))
+        assert rms_db == pytest.approx(-25.0, abs=0.01)
+
+    def test_energy_vad_segments_finds_speech_burst(self, rng):
+        sr = 16000
+        t = np.arange(sr) / sr
+        audio = np.concatenate([
+            rng.standard_normal(sr) * 1e-5,            # 1 s near-silence
+            np.sin(2 * np.pi * 300 * t) * 0.3,         # 1 s tone "speech"
+            rng.standard_normal(sr) * 1e-5,            # 1 s near-silence
+        ])
+        segs = W.energy_vad_segments(audio, fs=sr)
+        assert len(segs) >= 1
+        # the dominant segment covers (most of) the tone burst
+        start, end = max(segs, key=lambda se: se[1] - se[0])
+        assert start < sr * 1.2 and end > sr * 1.8
+        # and no segment claims the leading silence
+        assert all(s >= sr * 0.8 for s, _ in segs)
+
+    def test_energy_vad_min_duration_filters_blips(self, rng):
+        sr = 16000
+        audio = rng.standard_normal(sr) * 1e-5
+        audio[8000:8400] = 0.5        # 25 ms blip
+        # the slow-release smoothing (alpha_rel=0.05, ref feature.py:230-240)
+        # stretches a one-window blip to ~2 active windows (100 ms), so it
+        # passes a 100 ms gate but must be filtered by a 200 ms one
+        segs = W.energy_vad_segments(audio, fs=sr, min_duration_ms=100)
+        assert len(segs) == 1 and segs[0][1] - segs[0][0] <= sr // 5
+        assert W.energy_vad_segments(audio, fs=sr, min_duration_ms=200) == []
