@@ -222,6 +222,34 @@ class PairFileDataset:
         return (self._load(self.noisy[i], SR), self._load(self.clean[i], SR))
 
 
+def perturb_speech():
+    """Triple the TRAIN speech with 0.9x/1.1x speed perturbation (the
+    Kaldi recipe; data/mixing.speed_perturb) — the same data-scale lever
+    that lifted the inpainting line (scripts/inpainting_e2e.py corpus3x).
+    Held-out validation speakers are untouched."""
+    from generative_audio_tpu.data import speed_perturb
+    from generative_audio_tpu.data.audio_io import load_audio, write_wav
+
+    clean_dir = ROOT / "train" / "clean"
+    bases = [p for p in sorted(clean_dir.glob("*.wav"))
+             if "_sp" not in p.stem]
+    n_new = 0
+    for p in bases:
+        x = load_audio(p, SR)
+        for factor, suffix in ((0.9, "sp09"), (1.1, "sp11")):
+            outp = clean_dir / f"{p.stem}_{suffix}.wav"
+            if outp.exists():
+                continue
+            y = speed_perturb(x, factor)
+            # AudioDataset random-crops 3.072 s, so any length comfortably
+            # above that works (1.1x shrinks a 5 s clip to ~4.5 s)
+            if len(y) >= int(3.5 * SR):
+                write_wav(outp, y, SR)
+                n_new += 1
+    print(f"speed-perturbed: +{n_new} clips, corpus now "
+          f"{len(list(clean_dir.glob('*.wav')))}")
+
+
 def stage_mixture_pool(n_batches: int, batch: int = 18, seed: int = 1):
     """Pre-mix a pool of (noisy, clean) waveform batches on the host and
     stage them to the device ONCE — on-the-fly mixing feeds the chip at
@@ -244,7 +272,7 @@ def stage_mixture_pool(n_batches: int, batch: int = 18, seed: int = 1):
     return pool
 
 
-def train(epochs: int, tag: str = ""):
+def train(epochs: int, tag: str = "", pool: int = 200):
     import jax
     from generative_audio_tpu.train import EnhanceTrainConfig, EnhanceTrainer
     from generative_audio_tpu.utils.tracking import ExperimentTracker
@@ -252,8 +280,8 @@ def train(epochs: int, tag: str = ""):
     print(f"backend={jax.default_backend()}")
     cfg = EnhanceTrainConfig()       # full-size FullSubNet+ (512/384, G=2)
     t0 = time.time()
-    loader = stage_mixture_pool(200)
-    print(f"staged 200 mixture batches in {time.time() - t0:.0f}s")
+    loader = stage_mixture_pool(pool)
+    print(f"staged {pool} mixture batches in {time.time() - t0:.0f}s")
     val_ds = PairFileDataset(ROOT / "val")
     val_hard_ds = PairFileDataset(ROOT / "val_hard")
 
@@ -488,8 +516,10 @@ def finetune(epochs: int, lr: float = 2e-5, base_tag: str = "",
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "stage", choices=["corpus", "augment", "train", "finetune", "report"])
+        "stage", choices=["corpus", "augment", "perturb", "train", "finetune", "report"])
     parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--pool", type=int, default=200,
+                        help="staged mixture batches for the train stage")
     parser.add_argument("--lr", type=float, default=2e-5)
     parser.add_argument("--tag", default="",
                         help="suffix for ckpt dir / tracker run / summary")
@@ -498,8 +528,10 @@ def main():
         build_corpus()
     elif args.stage == "augment":
         augment_noise()
+    elif args.stage == "perturb":
+        perturb_speech()
     elif args.stage == "train":
-        train(args.epochs, args.tag)
+        train(args.epochs, args.tag, pool=args.pool)
     elif args.stage == "finetune":
         finetune(args.epochs, lr=args.lr)
     else:
