@@ -109,7 +109,10 @@ class LSTMLayer(nn.Module):
                 # Long clips / big batches: time-chunked hoisted projection
                 # keeps only ~t_chunk/T of the gates buffer resident
                 # (numerically identical; ops/pallas_lstm.py). This is what
-                # lets 60 s clips and batch>=32 x 10 s fit one chip.
+                # lets 60 s clips and batch>=32 x 10 s fit one chip — for
+                # INFERENCE: under jax.grad the chunked fn's VJP falls back
+                # to the full hoisted projection (training clips are short;
+                # trigger-tripping shapes cannot be trained on one chip).
                 from generative_audio_tpu.ops.pallas_lstm import (
                     lstm_layer_tm_chunked)
                 t_chunk = max(

@@ -105,6 +105,19 @@ def lstm_scan_reference_tm(gates_x: jnp.ndarray, w_hh: jnp.ndarray,
     return ys
 
 
+def _lstm_cell_update(gates, c_prev):
+    """Shared LSTM gate math (torch order i,f,g,o): fp32 gates [B, 4H] +
+    fp32 c_prev [B, H] -> (h_new, c). ONE implementation so the plain /
+    carry / train kernel variants stay bit-identical by construction."""
+    hsz = gates.shape[-1] // 4
+    i = jax.nn.sigmoid(gates[:, :hsz])
+    f = jax.nn.sigmoid(gates[:, hsz:2 * hsz])
+    g = jnp.tanh(gates[:, 2 * hsz:3 * hsz])
+    o = jax.nn.sigmoid(gates[:, 3 * hsz:])
+    c = f * c_prev + i * g
+    return o * jnp.tanh(c), c
+
+
 def _lstm_kernel(gx_ref, whh_ref, out_ref, h_scratch, c_scratch):
     from jax.experimental import pallas as pl
 
@@ -118,13 +131,7 @@ def _lstm_kernel(gx_ref, whh_ref, out_ref, h_scratch, c_scratch):
     gates = gx_ref[0].astype(jnp.float32) + jnp.dot(
         h_scratch[:].astype(jnp.bfloat16), whh_ref[:],
         preferred_element_type=jnp.float32)
-    hsz = whh_ref.shape[0]
-    i = jax.nn.sigmoid(gates[:, :hsz])
-    f = jax.nn.sigmoid(gates[:, hsz:2 * hsz])
-    g = jnp.tanh(gates[:, 2 * hsz:3 * hsz])
-    o = jax.nn.sigmoid(gates[:, 3 * hsz:])
-    c = f * c_scratch[:] + i * g
-    h_new = o * jnp.tanh(c)
+    h_new, c = _lstm_cell_update(gates, c_scratch[:])
     c_scratch[:] = c
     h_scratch[:] = h_new
     out_ref[0] = h_new.astype(out_ref.dtype)
@@ -186,13 +193,7 @@ def _lstm_train_kernel(gx_ref, whh_ref, out_ref, c_out_ref,
     gates = gx_ref[0].astype(jnp.float32) + jnp.dot(
         h_scratch[:].astype(jnp.bfloat16), whh_ref[:],
         preferred_element_type=jnp.float32)
-    hsz = whh_ref.shape[0]
-    i = jax.nn.sigmoid(gates[:, :hsz])
-    f = jax.nn.sigmoid(gates[:, hsz:2 * hsz])
-    g = jnp.tanh(gates[:, 2 * hsz:3 * hsz])
-    o = jax.nn.sigmoid(gates[:, 3 * hsz:])
-    c = f * c_scratch[:] + i * g
-    h_new = o * jnp.tanh(c)
+    h_new, c = _lstm_cell_update(gates, c_scratch[:])
     c_scratch[:] = c
     h_scratch[:] = h_new
     out_ref[0] = h_new.astype(out_ref.dtype)
@@ -525,13 +526,7 @@ def _lstm_layer_kernel(x_ref, wih_ref, whh_ref, bias_ref, out_ref,
              + jnp.dot(h_scratch[:].astype(jnp.bfloat16), whh_ref[:],
                        preferred_element_type=jnp.float32)
              + bias_ref[:])
-    hsz = whh_ref.shape[0]
-    i = jax.nn.sigmoid(gates[:, :hsz])
-    f = jax.nn.sigmoid(gates[:, hsz:2 * hsz])
-    g = jnp.tanh(gates[:, 2 * hsz:3 * hsz])
-    o = jax.nn.sigmoid(gates[:, 3 * hsz:])
-    c = f * c_scratch[:] + i * g
-    h_new = o * jnp.tanh(c)
+    h_new, c = _lstm_cell_update(gates, c_scratch[:])
     c_scratch[:] = c
     h_scratch[:] = h_new
     out_ref[0] = h_new.astype(out_ref.dtype)
@@ -709,13 +704,7 @@ def _lstm_carry_kernel(t_len, gx_ref, h0_ref, c0_ref, whh_ref,
     gates = gx_ref[0].astype(jnp.float32) + jnp.dot(
         h_scratch[:].astype(jnp.bfloat16), whh_ref[:],
         preferred_element_type=jnp.float32)
-    hsz = whh_ref.shape[0]
-    i = jax.nn.sigmoid(gates[:, :hsz])
-    f = jax.nn.sigmoid(gates[:, hsz:2 * hsz])
-    g = jnp.tanh(gates[:, 2 * hsz:3 * hsz])
-    o = jax.nn.sigmoid(gates[:, 3 * hsz:])
-    c = f * c_scratch[:] + i * g
-    h_new = o * jnp.tanh(c)
+    h_new, c = _lstm_cell_update(gates, c_scratch[:])
     c_scratch[:] = c
     h_scratch[:] = h_new
     out_ref[0] = h_new.astype(out_ref.dtype)
@@ -880,6 +869,17 @@ def gru_scan_reference_tm(gates_x: jnp.ndarray, w_hh: jnp.ndarray,
     return ys
 
 
+def _gru_cell_update(gx, gates_h, h_prev):
+    """Shared GRU gate math (torch order r,z,n): fp32 x-side gates gx and
+    h-side gates gates_h [B, 3H], h_prev [B, H] -> h_new. One
+    implementation shared by the plain and carry kernels."""
+    hsz = h_prev.shape[-1]
+    r = jax.nn.sigmoid(gx[:, :hsz] + gates_h[:, :hsz])
+    z = jax.nn.sigmoid(gx[:, hsz:2 * hsz] + gates_h[:, hsz:2 * hsz])
+    n = jnp.tanh(gx[:, 2 * hsz:] + r * gates_h[:, 2 * hsz:])
+    return (1.0 - z) * n + z * h_prev
+
+
 def _gru_kernel(gx_ref, whh_ref, bhh_ref, out_ref, h_scratch):
     from jax.experimental import pallas as pl
 
@@ -892,12 +892,7 @@ def _gru_kernel(gx_ref, whh_ref, bhh_ref, out_ref, h_scratch):
     h_prev = h_scratch[:]
     gates_h = jnp.dot(h_prev.astype(jnp.bfloat16), whh_ref[:],
                       preferred_element_type=jnp.float32) + bhh_ref[:]
-    gx = gx_ref[0].astype(jnp.float32)
-    hsz = whh_ref.shape[0]
-    r = jax.nn.sigmoid(gx[:, :hsz] + gates_h[:, :hsz])
-    z = jax.nn.sigmoid(gx[:, hsz:2 * hsz] + gates_h[:, hsz:2 * hsz])
-    n = jnp.tanh(gx[:, 2 * hsz:] + r * gates_h[:, 2 * hsz:])
-    h_new = (1.0 - z) * n + z * h_prev
+    h_new = _gru_cell_update(gx_ref[0].astype(jnp.float32), gates_h, h_prev)
     h_scratch[:] = h_new
     out_ref[0] = h_new.astype(out_ref.dtype)
 
@@ -1137,12 +1132,7 @@ def _gru_carry_kernel(t_len, gx_ref, h0_ref, whh_ref, bhh_ref,
     h_prev = h_scratch[:]
     gates_h = jnp.dot(h_prev.astype(jnp.bfloat16), whh_ref[:],
                       preferred_element_type=jnp.float32) + bhh_ref[:]
-    gx = gx_ref[0].astype(jnp.float32)
-    hsz = whh_ref.shape[0]
-    r = jax.nn.sigmoid(gx[:, :hsz] + gates_h[:, :hsz])
-    z = jax.nn.sigmoid(gx[:, hsz:2 * hsz] + gates_h[:, hsz:2 * hsz])
-    n = jnp.tanh(gx[:, 2 * hsz:] + r * gates_h[:, 2 * hsz:])
-    h_new = (1.0 - z) * n + z * h_prev
+    h_new = _gru_cell_update(gx_ref[0].astype(jnp.float32), gates_h, h_prev)
     h_scratch[:] = h_new
     out_ref[0] = h_new.astype(out_ref.dtype)
 

@@ -470,10 +470,16 @@ def report():
         spft_path = ARTIFACTS / "training_summary_sp_ft.json"
         if spft_path.exists():
             ft2 = json.loads(spft_path.read_text())
+            verdict2 = (
+                f"improved the composite to {ft2['best_composite']:.4f}"
+                if ft2["improved_over_base"] else
+                "did not beat the carried-over base best (best-model "
+                "selection kept the base checkpoint, composite "
+                f"{ft2['best_composite']:.4f})")
             lines += [
                 "",
                 f"Fine-tuning the 3x-corpus best at lr {ft2['lr']:g} "
-                f"improved the composite to {ft2['best_composite']:.4f} "
+                f"{verdict2} "
                 "(SI-SDR "
                 f"{ft2['final_best_model']['SI_SDR']:.2f} dB / STOI "
                 f"{ft2['final_best_model']['STOI']:.4f}; unseen-noise "

@@ -91,8 +91,6 @@ class TestReferenceParity:
         ga, gb = W.aligned_subsample(a.copy(), b.copy(), 30, rng=crng)
         assert ga.shape == gb.shape == (4, 30)
         # the two outputs are the SAME window of their sources
-        i = np.argwhere(
-            np.all(a[:, :, None] == ga[:, None, :][..., :1], axis=0))
         starts = [s for s in range(50 - 30 + 1)
                   if np.array_equal(a[..., s:s + 30], ga)]
         assert len(starts) == 1
