@@ -222,11 +222,12 @@ class PairFileDataset:
         return (self._load(self.noisy[i], SR), self._load(self.clean[i], SR))
 
 
-def perturb_speech():
-    """Triple the TRAIN speech with 0.9x/1.1x speed perturbation (the
-    Kaldi recipe; data/mixing.speed_perturb) — the same data-scale lever
-    that lifted the inpainting line (scripts/inpainting_e2e.py corpus3x).
-    Held-out validation speakers are untouched."""
+def perturb_speech(factors=((0.9, "sp09"), (1.1, "sp11"))):
+    """Expand the TRAIN speech with speed perturbation (the Kaldi recipe;
+    data/mixing.speed_perturb) — the same data-scale lever that lifted the
+    inpainting line (scripts/inpainting_e2e.py corpus3x). The default
+    0.9x/1.1x pair triples the corpus; `--wide` adds 0.8x/1.25x for a 5x
+    corpus. Held-out validation speakers are untouched."""
     from generative_audio_tpu.data import speed_perturb
     from generative_audio_tpu.data.audio_io import load_audio, write_wav
 
@@ -236,7 +237,7 @@ def perturb_speech():
     n_new = 0
     for p in bases:
         x = load_audio(p, SR)
-        for factor, suffix in ((0.9, "sp09"), (1.1, "sp11")):
+        for factor, suffix in factors:
             outp = clean_dir / f"{p.stem}_{suffix}.wav"
             if outp.exists():
                 continue
@@ -568,13 +569,18 @@ def main():
     parser.add_argument("--lr", type=float, default=2e-5)
     parser.add_argument("--tag", default="",
                         help="suffix for ckpt dir / tracker run / summary")
+    parser.add_argument("--wide", action="store_true",
+                        help="perturb: also add 0.8x/1.25x (5x corpus)")
     args = parser.parse_args()
     if args.stage == "corpus":
         build_corpus()
     elif args.stage == "augment":
         augment_noise()
     elif args.stage == "perturb":
-        perturb_speech()
+        factors = ((0.9, "sp09"), (1.1, "sp11"))
+        if args.wide:
+            factors += ((0.8, "sp08"), (1.25, "sp125"))
+        perturb_speech(factors)
     elif args.stage == "train":
         train(args.epochs, args.tag, pool=args.pool)
     elif args.stage == "finetune":
