@@ -21,6 +21,8 @@ from jax import lax
 
 __all__ = [
     "cirm_mse_loss",
+    "cirm_l1_loss",
+    "si_snr_loss",
     "masked_mse_loss",
     "second_moment_lambda",
     "nppc_objective_real",
@@ -32,6 +34,31 @@ __all__ = [
 def cirm_mse_loss(pred_crm: jnp.ndarray, gt_cirm: jnp.ndarray) -> jnp.ndarray:
     """Plain MSE over compressed masks (both [B, 2, F', T])."""
     return jnp.mean(jnp.square(pred_crm - gt_cirm))
+
+
+def cirm_l1_loss(pred_crm: jnp.ndarray, gt_cirm: jnp.ndarray) -> jnp.ndarray:
+    """L1 over compressed masks — the reference's config-selectable
+    `l1_loss` alias (audio_zen/loss.py:3, picked by `[loss_function]
+    name` in train.toml via tools/train.py:66)."""
+    return jnp.mean(jnp.abs(pred_crm - gt_cirm))
+
+
+def si_snr_loss(enhanced: jnp.ndarray, reference: jnp.ndarray,
+                eps: float = 1e-8) -> jnp.ndarray:
+    """Negative mean scale-invariant SNR over waveforms [B, T].
+
+    The reference's config-selectable waveform loss, audio_zen/loss.py:7-31:
+    zero-mean both signals, project the enhanced signal onto the reference
+    (`t`), and return -mean(20*log10(eps + ||t|| / (||x_zm - t|| + eps))) —
+    the eps placements match the reference exactly."""
+    x_zm = enhanced - jnp.mean(enhanced, axis=-1, keepdims=True)
+    s_zm = reference - jnp.mean(reference, axis=-1, keepdims=True)
+    dot = jnp.sum(x_zm * s_zm, axis=-1, keepdims=True)
+    s_energy = jnp.sum(jnp.square(s_zm), axis=-1, keepdims=True)
+    t = dot * s_zm / (s_energy + eps)
+    t_norm = jnp.linalg.norm(t, axis=-1)
+    noise_norm = jnp.linalg.norm(x_zm - t, axis=-1)
+    return -jnp.mean(20.0 * jnp.log10(eps + t_norm / (noise_norm + eps)))
 
 
 def masked_mse_loss(pred: jnp.ndarray, target: jnp.ndarray,

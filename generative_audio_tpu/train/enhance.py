@@ -57,6 +57,14 @@ class EnhanceTrainConfig:
     # the Residual_Trainer objective (fullsubnet_plus/trainer/trainer.py:
     # 162-228). 0 (default) is the pure-cIRM Trainer/Trainer_Finetune loss.
     loss_alpha: float = 0.0
+    # The reference's [loss_function] config block (train.toml:17-19 ->
+    # tools/train.py:66, resolved against audio_zen/loss.py):
+    #   "mse"    — mse_loss on the (drop_band) compressed cIRM (default)
+    #   "l1"     — l1_loss on the same target
+    #   "si_snr" — si_snr_loss on enhanced waveforms (full-band mask ->
+    #              iSTFT; drop_band is a mask-domain decimation, so the
+    #              waveform loss runs the model at num_groups=1)
+    loss_type: str = "mse"
 
 
 def _model(config: EnhanceTrainConfig, subband_sharding=None,
@@ -101,6 +109,28 @@ def enhance_loss_fn(params, noisy: jnp.ndarray, clean: jnp.ndarray,
 
     gt_cirm = build_complex_ideal_ratio_mask_ri(nr, ni, cr, ci)  # [B,F,T,2]
 
+    if config.loss_type not in ("mse", "l1", "si_snr"):
+        raise ValueError(f"unknown loss_type {config.loss_type!r}")
+    if config.loss_alpha > 0 and config.loss_type != "mse":
+        raise ValueError("loss_alpha (Residual_Trainer) is defined on the "
+                         "cIRM MSE objective only; use loss_type='mse'")
+
+    if config.loss_type == "si_snr":
+        from generative_audio_tpu.ops.mask import decompress_cIRM, apply_crm
+        from generative_audio_tpu.ops.stft import istft_ri
+        from generative_audio_tpu.losses import si_snr_loss
+        # Waveform-domain objective (audio_zen/loss.py:7-31): full-band
+        # mask (num_groups=1 — drop_band decimates the mask domain and
+        # cannot be inverted to a waveform).
+        model = _model(config, subband_sharding, num_groups=1)
+        crm = _apply_model(model, params, noisy_mag, nr, ni,
+                           config.model_type)                    # [B,2,F,T]
+        dec = decompress_cIRM(jnp.transpose(crm, (0, 2, 3, 1)))
+        er, ei = apply_crm(dec, nr, ni)
+        enhanced = istft_ri(er, ei, config.n_fft, config.hop_length,
+                            config.win_length, length=clean.shape[-1])
+        return si_snr_loss(enhanced, clean)
+
     if config.loss_alpha > 0:
         from generative_audio_tpu.ops.mask import decompress_cIRM, apply_crm
         # Residual_Trainer objective (trainer.py:162-228): BOTH terms are
@@ -125,6 +155,9 @@ def enhance_loss_fn(params, noisy: jnp.ndarray, clean: jnp.ndarray,
     model = _model(config, subband_sharding)
     crm = _apply_model(model, params, noisy_mag, nr, ni,
                        config.model_type)                        # [B,2,F',T]
+    if config.loss_type == "l1":
+        from generative_audio_tpu.losses import cirm_l1_loss
+        return cirm_l1_loss(crm, gt_cirm)
     return cirm_mse_loss(crm, gt_cirm)
 
 

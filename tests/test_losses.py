@@ -173,3 +173,79 @@ def test_masked_mse_no_gap_is_finite():
     assert float(loss) == 0.0
     g = jax.grad(lambda p: masked_mse_loss(p, target, mask))(pred)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_si_snr_loss_matches_reference(rng):
+    """Torch rederivation of audio_zen/loss.py:7-31 (si_snr_loss), eps
+    placements included: -mean(20*log10(eps + ||t|| / (||x-t|| + eps)))."""
+    from generative_audio_tpu.losses import si_snr_loss
+
+    s = rng.standard_normal((3, 4000)).astype(np.float32)
+    x = s + 0.3 * rng.standard_normal((3, 4000)).astype(np.float32)
+    out = float(si_snr_loss(x, s))
+
+    eps = 1e-8
+    tx, ts = torch.from_numpy(x), torch.from_numpy(s)
+    x_zm = tx - tx.mean(dim=-1, keepdim=True)
+    s_zm = ts - ts.mean(dim=-1, keepdim=True)
+    t = ((x_zm * s_zm).sum(dim=-1, keepdim=True) * s_zm
+         / (s_zm.norm(dim=-1, keepdim=True) ** 2 + eps))
+    ref = -torch.mean(20 * torch.log10(
+        eps + t.norm(dim=-1) / ((x_zm - t).norm(dim=-1) + eps)))
+    np.testing.assert_allclose(out, float(ref), rtol=1e-4)
+
+    # perfect reconstruction (up to scale — the loss is scale-invariant):
+    # strongly negative loss, and scaling must not change it materially
+    perfect = float(si_snr_loss(2.0 * s, s))
+    assert perfect < -80.0
+
+
+def test_cirm_l1_loss(rng):
+    from generative_audio_tpu.losses import cirm_l1_loss
+    a = rng.standard_normal((2, 2, 8, 10)).astype(np.float32)
+    b = rng.standard_normal((2, 2, 8, 10)).astype(np.float32)
+    np.testing.assert_allclose(float(cirm_l1_loss(a, b)),
+                               np.abs(a - b).mean(), rtol=1e-6)
+
+
+def test_enhance_loss_type_variants(rng):
+    """The [loss_function] config block (train.toml:17-19): every selectable
+    loss trains to a finite scalar; invalid combinations raise."""
+    import dataclasses
+    import jax
+    import pytest
+    from generative_audio_tpu import train as T
+    from generative_audio_tpu.models.fullsubnet_plus import (
+        FullSubNetPlusConfig)
+
+    tiny = FullSubNetPlusConfig(
+        num_freqs=32, sb_num_neighbors=2, fb_model_hidden_size=16,
+        sb_model_hidden_size=8, num_groups_in_drop_band=2)
+    clean = rng.standard_normal((4, 2048)).astype(np.float32)
+    noisy = clean + 0.3 * rng.standard_normal((4, 2048)).astype(np.float32)
+
+    vals = {}
+    for loss_type in ("mse", "l1", "si_snr"):
+        cfg = T.EnhanceTrainConfig(model=tiny, n_fft=62, hop_length=32,
+                                   win_length=62, compute_dtype="float32",
+                                   loss_type=loss_type)
+        state = T.init_enhance_state(cfg, jax.random.PRNGKey(0))
+        step = T.make_enhance_train_step(cfg, donate=False)
+        state, loss = step(state, noisy, clean)
+        assert np.isfinite(float(loss))
+        vals[loss_type] = float(loss)
+    # si_snr is in (negative) dB, not mask units — the objectives differ
+    assert vals["mse"] != vals["si_snr"]
+
+    bad = T.EnhanceTrainConfig(model=tiny, n_fft=62, hop_length=32,
+                               win_length=62, compute_dtype="float32",
+                               loss_type="si_snr", loss_alpha=0.5)
+    with pytest.raises(ValueError):
+        T.init_enhance_state(bad, jax.random.PRNGKey(0))
+        step = T.make_enhance_train_step(bad, donate=False)
+        step(T.init_enhance_state(bad, jax.random.PRNGKey(0)), noisy, clean)
+
+    with pytest.raises(ValueError):
+        cfg = dataclasses.replace(bad, loss_alpha=0.0, loss_type="nope")
+        step = T.make_enhance_train_step(cfg, donate=False)
+        step(T.init_enhance_state(cfg, jax.random.PRNGKey(0)), noisy, clean)
