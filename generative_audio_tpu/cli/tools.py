@@ -316,6 +316,14 @@ def main(argv=None):
     p.add_argument("--score_file", required=True)
     p.add_argument("--method", default="p808", choices=["p808", "p835"])
 
+    # per-file metric delta between two runs, ranked + optional histogram
+    # (the analyse.py workflow, :58-62)
+    p = sub.add_parser("analyse")
+    p.add_argument("--file1", required=True, help="metric txt of run A")
+    p.add_argument("--file2", required=True, help="metric txt of run B")
+    p.add_argument("--output", required=True, help="ranked delta txt")
+    p.add_argument("--hist", default="", help="optional histogram PNG path")
+
     args = parser.parse_args(argv)
     if args.cmd == "gen_lst":
         n = gen_lst(args.dataset_dir, args.output_lst)
@@ -335,6 +343,15 @@ def main(argv=None):
                                 snr_upper=args.snr_upper)
     elif args.cmd == "dns_mos":
         dns_mos_score(args.testset_dir, args.score_file, args.method)
+    elif args.cmd == "analyse":
+        ranked = compare_metric_files(args.file1, args.file2)
+        write_metric_txt(args.output, ranked)
+        if args.hist:
+            draw_hist(list(read_metric_txt(args.file1).values()),
+                      args.hist,
+                      data2=list(read_metric_txt(args.file2).values()),
+                      labels=(Path(args.file1).stem, Path(args.file2).stem))
+        print(f"wrote {len(ranked)} deltas")
 
 
 if __name__ == "__main__":

@@ -119,3 +119,18 @@ def test_cli_dispatcher(tmp_path, capsys):
     main(["gen_lst", "--dataset_dir", str(tmp_path / "ds"),
           "--output_lst", str(tmp_path / "o.lst")])
     assert "wrote 1 paths" in capsys.readouterr().out
+
+
+def test_analyse_subcommand(tmp_path):
+    """CLI `tools analyse`: ranked delta txt + two-run histogram
+    (analyse.py:58-62 workflow)."""
+    f1, f2 = tmp_path / "a.txt", tmp_path / "b.txt"
+    write_metric_txt(f1, [("x.wav", 2.0), ("y.wav", 1.0)])
+    write_metric_txt(f2, [("x.wav", 1.5), ("y.wav", 1.4)])
+    out, png = tmp_path / "delta.txt", tmp_path / "hist.png"
+    main(["analyse", "--file1", str(f1), "--file2", str(f2),
+          "--output", str(out), "--hist", str(png)])
+    ranked = read_metric_txt(out)
+    assert ranked["x.wav"] == pytest.approx(0.5)
+    assert ranked["y.wav"] == pytest.approx(-0.4)
+    assert png.exists() and png.stat().st_size > 0
