@@ -130,11 +130,16 @@ def write_metric_txt(filename, ranked: List[Tuple[str, float]]):
         "".join(f"{name}: {value}\n" for name, value in ranked))
 
 
-def compare_metric_files(file1, file2) -> List[Tuple[str, float]]:
+def compare_metric_dicts(d1: Dict[str, float],
+                         d2: Dict[str, float]) -> List[Tuple[str, float]]:
     """Per-file metric delta, ranked descending (analyse.py:25-33)."""
-    d1, d2 = read_metric_txt(file1), read_metric_txt(file2)
     diffs = [(k, d1[k] - d2[k]) for k in d1 if k in d2]
     return sorted(diffs, key=lambda kv: kv[1], reverse=True)
+
+
+def compare_metric_files(file1, file2) -> List[Tuple[str, float]]:
+    return compare_metric_dicts(read_metric_txt(file1),
+                                read_metric_txt(file2))
 
 
 def draw_hist(data, filename, data2=None, labels=("a", "b")):
@@ -344,14 +349,17 @@ def main(argv=None):
     elif args.cmd == "dns_mos":
         dns_mos_score(args.testset_dir, args.score_file, args.method)
     elif args.cmd == "analyse":
-        ranked = compare_metric_files(args.file1, args.file2)
+        d1, d2 = read_metric_txt(args.file1), read_metric_txt(args.file2)
+        ranked = compare_metric_dicts(d1, d2)
         write_metric_txt(args.output, ranked)
         if args.hist:
-            draw_hist(list(read_metric_txt(args.file1).values()),
-                      args.hist,
-                      data2=list(read_metric_txt(args.file2).values()),
+            draw_hist(list(d1.values()), args.hist,
+                      data2=list(d2.values()),
                       labels=(Path(args.file1).stem, Path(args.file2).stem))
-        print(f"wrote {len(ranked)} deltas")
+        dropped = len(d1) + len(d2) - 2 * len(ranked)
+        print(f"wrote {len(ranked)} deltas"
+              + (f" ({dropped} entries present in only one file)"
+                 if dropped else ""))
 
 
 if __name__ == "__main__":

@@ -45,20 +45,30 @@ def cirm_l1_loss(pred_crm: jnp.ndarray, gt_cirm: jnp.ndarray) -> jnp.ndarray:
 
 def si_snr_loss(enhanced: jnp.ndarray, reference: jnp.ndarray,
                 eps: float = 1e-8) -> jnp.ndarray:
-    """Negative mean scale-invariant SNR over waveforms [B, T].
+    """Negative mean scale-invariant SNR over the last axis.
 
-    The reference's config-selectable waveform loss, audio_zen/loss.py:7-31:
-    zero-mean both signals, project the enhanced signal onto the reference
-    (`t`), and return -mean(20*log10(eps + ||t|| / (||x_zm - t|| + eps))) —
-    the eps placements match the reference exactly."""
+    audio_zen/loss.py:7-31: zero-mean both signals, project the enhanced
+    signal onto the reference (`t`), and return
+    -mean(20*log10(eps + ||t|| / (||x_zm - t|| + eps))) — the eps
+    placements match the reference exactly. Works on waveforms [B, T] and,
+    like the reference under `loss_function(gt_cIRM, cRM)`
+    (trainer.py:347), on any [..., T] tensor (the mean runs over all
+    leading axes).
+
+    Deviation from the reference (which NaNs here): the norms are computed
+    as sqrt(sum(x^2) + eps^2), so an exactly-silent reference row (t == 0,
+    where d||t||/dt = t/||t|| is 0/0) yields a finite gradient instead of
+    NaN-poisoning the optimizer state."""
+    def _safe_norm(x):
+        return jnp.sqrt(jnp.sum(jnp.square(x), axis=-1) + eps * eps)
+
     x_zm = enhanced - jnp.mean(enhanced, axis=-1, keepdims=True)
     s_zm = reference - jnp.mean(reference, axis=-1, keepdims=True)
     dot = jnp.sum(x_zm * s_zm, axis=-1, keepdims=True)
     s_energy = jnp.sum(jnp.square(s_zm), axis=-1, keepdims=True)
     t = dot * s_zm / (s_energy + eps)
-    t_norm = jnp.linalg.norm(t, axis=-1)
-    noise_norm = jnp.linalg.norm(x_zm - t, axis=-1)
-    return -jnp.mean(20.0 * jnp.log10(eps + t_norm / (noise_norm + eps)))
+    return -jnp.mean(20.0 * jnp.log10(
+        eps + _safe_norm(t) / (_safe_norm(x_zm - t) + eps)))
 
 
 def masked_mse_loss(pred: jnp.ndarray, target: jnp.ndarray,

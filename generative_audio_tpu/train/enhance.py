@@ -58,13 +58,26 @@ class EnhanceTrainConfig:
     # 162-228). 0 (default) is the pure-cIRM Trainer/Trainer_Finetune loss.
     loss_alpha: float = 0.0
     # The reference's [loss_function] config block (train.toml:17-19 ->
-    # tools/train.py:66, resolved against audio_zen/loss.py):
+    # tools/train.py:66, resolved against audio_zen/loss.py). The reference
+    # trainer applies whichever loss is selected to the (gt cIRM, cRM) pair
+    # (trainer.py:347) — masks, not waveforms — so:
     #   "mse"    — mse_loss on the (drop_band) compressed cIRM (default)
     #   "l1"     — l1_loss on the same target
-    #   "si_snr" — si_snr_loss on enhanced waveforms (full-band mask ->
-    #              iSTFT; drop_band is a mask-domain decimation, so the
-    #              waveform loss runs the model at num_groups=1)
+    #   "si_snr" — si_snr_loss on the same mask pair, per-row over the T
+    #              axis (the literal reference semantics)
+    #   "si_snr_wave" — EXTENSION (not in the reference): si_snr_loss on
+    #              enhanced waveforms (full-band mask -> iSTFT; drop_band
+    #              is a mask-domain decimation, so this path runs the
+    #              model at num_groups=1)
     loss_type: str = "mse"
+
+    def __post_init__(self):
+        if self.loss_type not in ("mse", "l1", "si_snr", "si_snr_wave"):
+            raise ValueError(f"unknown loss_type {self.loss_type!r}")
+        if self.loss_alpha > 0 and self.loss_type != "mse":
+            raise ValueError(
+                "loss_alpha (Residual_Trainer) is defined on the cIRM MSE "
+                "objective only; use loss_type='mse'")
 
 
 def _model(config: EnhanceTrainConfig, subband_sharding=None,
@@ -109,19 +122,13 @@ def enhance_loss_fn(params, noisy: jnp.ndarray, clean: jnp.ndarray,
 
     gt_cirm = build_complex_ideal_ratio_mask_ri(nr, ni, cr, ci)  # [B,F,T,2]
 
-    if config.loss_type not in ("mse", "l1", "si_snr"):
-        raise ValueError(f"unknown loss_type {config.loss_type!r}")
-    if config.loss_alpha > 0 and config.loss_type != "mse":
-        raise ValueError("loss_alpha (Residual_Trainer) is defined on the "
-                         "cIRM MSE objective only; use loss_type='mse'")
-
-    if config.loss_type == "si_snr":
+    if config.loss_type == "si_snr_wave":
         from generative_audio_tpu.ops.mask import decompress_cIRM, apply_crm
         from generative_audio_tpu.ops.stft import istft_ri
         from generative_audio_tpu.losses import si_snr_loss
-        # Waveform-domain objective (audio_zen/loss.py:7-31): full-band
-        # mask (num_groups=1 — drop_band decimates the mask domain and
-        # cannot be inverted to a waveform).
+        # Waveform-domain extension: full-band mask (num_groups=1 —
+        # drop_band decimates the mask domain and cannot be inverted to
+        # a waveform).
         model = _model(config, subband_sharding, num_groups=1)
         crm = _apply_model(model, params, noisy_mag, nr, ni,
                            config.model_type)                    # [B,2,F,T]
@@ -158,6 +165,13 @@ def enhance_loss_fn(params, noisy: jnp.ndarray, clean: jnp.ndarray,
     if config.loss_type == "l1":
         from generative_audio_tpu.losses import cirm_l1_loss
         return cirm_l1_loss(crm, gt_cirm)
+    if config.loss_type == "si_snr":
+        # The reference's literal semantics: the selected loss applied to
+        # the (gt cIRM, cRM) pair — per-row SI-SNR over the trailing T
+        # axis of the [B,2,F',T] masks, gt passed in the reference's
+        # first-argument slot (trainer.py:347).
+        from generative_audio_tpu.losses import si_snr_loss
+        return si_snr_loss(gt_cirm, crm)
     return cirm_mse_loss(crm, gt_cirm)
 
 

@@ -273,7 +273,8 @@ def stage_mixture_pool(n_batches: int, batch: int = 18, seed: int = 1):
     return pool
 
 
-def train(epochs: int, tag: str = "", pool: int = 200):
+def train(epochs: int, tag: str = "", pool: int = 200,
+          pool_seed: int = 1):
     import jax
     from generative_audio_tpu.train import EnhanceTrainConfig, EnhanceTrainer
     from generative_audio_tpu.utils.tracking import ExperimentTracker
@@ -281,8 +282,9 @@ def train(epochs: int, tag: str = "", pool: int = 200):
     print(f"backend={jax.default_backend()}")
     cfg = EnhanceTrainConfig()       # full-size FullSubNet+ (512/384, G=2)
     t0 = time.time()
-    loader = stage_mixture_pool(pool)
-    print(f"staged {pool} mixture batches in {time.time() - t0:.0f}s")
+    loader = stage_mixture_pool(pool, seed=pool_seed)
+    print(f"staged {pool} mixture batches (seed {pool_seed}) "
+          f"in {time.time() - t0:.0f}s")
     val_ds = PairFileDataset(ROOT / "val")
     val_hard_ds = PairFileDataset(ROOT / "val_hard")
 
@@ -564,6 +566,9 @@ def main():
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--pool", type=int, default=200,
                         help="staged mixture batches for the train stage")
+    parser.add_argument("--pool_seed", type=int, default=1,
+                        help="mixture-pool RNG seed (vary on resume so a "
+                        "continued run sees fresh mixtures)")
     parser.add_argument("--base_tag", default="",
                         help="finetune: tag of the base run to preload")
     parser.add_argument("--lr", type=float, default=2e-5)
@@ -582,7 +587,8 @@ def main():
             factors += ((0.8, "sp08"), (1.25, "sp125"))
         perturb_speech(factors)
     elif args.stage == "train":
-        train(args.epochs, args.tag, pool=args.pool)
+        train(args.epochs, args.tag, pool=args.pool,
+              pool_seed=args.pool_seed)
     elif args.stage == "finetune":
         finetune(args.epochs, lr=args.lr,
                  base_tag=args.base_tag,

@@ -211,7 +211,6 @@ def test_cirm_l1_loss(rng):
 def test_enhance_loss_type_variants(rng):
     """The [loss_function] config block (train.toml:17-19): every selectable
     loss trains to a finite scalar; invalid combinations raise."""
-    import dataclasses
     import jax
     import pytest
     from generative_audio_tpu import train as T
@@ -225,7 +224,7 @@ def test_enhance_loss_type_variants(rng):
     noisy = clean + 0.3 * rng.standard_normal((4, 2048)).astype(np.float32)
 
     vals = {}
-    for loss_type in ("mse", "l1", "si_snr"):
+    for loss_type in ("mse", "l1", "si_snr", "si_snr_wave"):
         cfg = T.EnhanceTrainConfig(model=tiny, n_fft=62, hop_length=32,
                                    win_length=62, compute_dtype="float32",
                                    loss_type=loss_type)
@@ -234,18 +233,27 @@ def test_enhance_loss_type_variants(rng):
         state, loss = step(state, noisy, clean)
         assert np.isfinite(float(loss))
         vals[loss_type] = float(loss)
-    # si_snr is in (negative) dB, not mask units — the objectives differ
+    # si_snr variants are in (negative) dB, not mask units
     assert vals["mse"] != vals["si_snr"]
+    assert vals["si_snr"] != vals["si_snr_wave"]
 
-    bad = T.EnhanceTrainConfig(model=tiny, n_fft=62, hop_length=32,
-                               win_length=62, compute_dtype="float32",
-                               loss_type="si_snr", loss_alpha=0.5)
+    # invalid combinations fail at CONFIG construction, before any jit
     with pytest.raises(ValueError):
-        T.init_enhance_state(bad, jax.random.PRNGKey(0))
-        step = T.make_enhance_train_step(bad, donate=False)
-        step(T.init_enhance_state(bad, jax.random.PRNGKey(0)), noisy, clean)
+        T.EnhanceTrainConfig(model=tiny, loss_type="si_snr",
+                             loss_alpha=0.5)
+    with pytest.raises(ValueError):
+        T.EnhanceTrainConfig(model=tiny, loss_type="nope")
 
-    with pytest.raises(ValueError):
-        cfg = dataclasses.replace(bad, loss_alpha=0.0, loss_type="nope")
-        step = T.make_enhance_train_step(cfg, donate=False)
-        step(T.init_enhance_state(cfg, jax.random.PRNGKey(0)), noisy, clean)
+
+def test_si_snr_loss_silent_reference_grad_finite():
+    """A silent clean row makes the projection t exactly zero; the safe-norm
+    form must keep gradients finite (the torch reference NaNs here)."""
+    import jax
+    import jax.numpy as jnp
+    from generative_audio_tpu.losses import si_snr_loss
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 256)),
+                    jnp.float32)
+    s = x.at[1].set(0.0)                      # one silent reference row
+    g = jax.grad(lambda x: si_snr_loss(x, s))(x)
+    assert bool(jnp.all(jnp.isfinite(g)))
