@@ -6,6 +6,7 @@ from generative_audio_tpu.eval.metrics import (  # noqa: F401
 from generative_audio_tpu.eval.inferencer import (  # noqa: F401
     Inferencer, InferencerConfig,
 )
+from generative_audio_tpu.eval.streaming import StreamingEnhancer  # noqa: F401
 from generative_audio_tpu.eval.validator import ModelValidator  # noqa: F401
 from generative_audio_tpu.eval.mc_dropout import (  # noqa: F401
     mc_dropout_inference, compute_pca_batch, calculate_unet_baseline,

@@ -261,16 +261,12 @@ class Inferencer:
 
         return self._run_jitted("complex", fn, noisy)
 
-    def overlapped_chunk(self, noisy: np.ndarray, args=None) -> np.ndarray:
-        """Streaming hann-crossfaded 50%-overlap chunks with 256-sample noisy
-        pre-roll (ref :191-250). The per-chunk model is a waveform->waveform
-        enhancer (e.g. a jitted full pipeline); chunks share ONE compiled
-        program since their length is fixed."""
+    def _chunk_program(self):
+        """The compiled per-chunk waveform->waveform program shared by
+        `overlapped_chunk` and `eval.streaming.StreamingEnhancer` — one
+        fixed-shape jit reused for every chunk of every clip."""
         c = self.config
         chunk_length = c.sr * c.chunk_length_seconds
-        hop = chunk_length // 2
-        num_chunks = int(len(noisy) / hop) + 1
-        win = np.asarray(hann_window(chunk_length))
 
         def spectral_chunk_fn(v, w):
             # spectral-model wrapper: run the default cRM pipeline per chunk
@@ -294,7 +290,19 @@ class Inferencer:
             self._compiled[key] = jax.jit(
                 (lambda v, w: self.apply(v, w)) if kind == "chunk_wav"
                 else spectral_chunk_fn)
-        model = self._compiled[key]
+        return self._compiled[key]
+
+    def overlapped_chunk(self, noisy: np.ndarray, args=None) -> np.ndarray:
+        """Streaming hann-crossfaded 50%-overlap chunks with 256-sample noisy
+        pre-roll (ref :191-250). The per-chunk model is a waveform->waveform
+        enhancer (e.g. a jitted full pipeline); chunks share ONE compiled
+        program since their length is fixed."""
+        c = self.config
+        chunk_length = c.sr * c.chunk_length_seconds
+        hop = chunk_length // 2
+        num_chunks = int(len(noisy) / hop) + 1
+        win = np.asarray(hann_window(chunk_length))
+        model = self._chunk_program()
 
         prev = None
         out = []
