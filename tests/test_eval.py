@@ -387,3 +387,38 @@ def test_streaming_spectral_model_and_latency(rng):
     np.testing.assert_array_equal(streamed, offline)
     # identity cRM -> output correlates with the input in the interior
     assert np.corrcoef(streamed[8000:32000], noisy[8000:32000])[0, 1] > 0.9
+
+
+def test_streaming_multi_stream_batch(rng):
+    """n_streams=K: K lockstep streams through one batched chunk program,
+    each row identical to the offline mode on that stream."""
+    from generative_audio_tpu.eval.streaming import StreamingEnhancer
+
+    K, L = 3, 40011
+    noisy = rng.standard_normal((K, L)).astype(np.float32) * 0.1
+
+    def passthrough(variables, wav):
+        return wav * 0.5
+
+    inf = Inferencer(passthrough, variables={},
+                     config=InferencerConfig(chunk_length_seconds=1))
+    offline = np.stack([inf.overlapped_chunk(noisy[k]) for k in range(K)])
+
+    stream = StreamingEnhancer(inf, n_streams=K)
+    pieces, pos = [], 0
+    piece_rng = np.random.default_rng(5)
+    while pos < L:
+        n = int(piece_rng.integers(500, 7000))
+        pieces.append(stream.feed(noisy[:, pos:pos + n]))
+        pos += n
+    pieces.append(stream.flush())
+    streamed = np.concatenate(pieces, axis=-1)
+    assert streamed.shape == offline.shape
+    np.testing.assert_array_equal(streamed, offline)
+
+    # shape policing
+    import pytest
+    with pytest.raises(ValueError):
+        stream.feed(noisy[0])                  # 1-D into a K-stream group
+    with pytest.raises(ValueError):
+        stream.feed(noisy[:2])                 # wrong row count
