@@ -1,0 +1,69 @@
+"""Streaming-enhancement throughput: StreamingEnhancer on the real chip.
+
+Measures the live-serving numbers quoted in eval/streaming.py: K lockstep
+streams fed piecewise through ONE batched chunk program, end-to-end wall
+clock (host buffering + tunnel transfer + chunk compute + crossfade), and
+reports per-configuration aggregate realtime factor.
+
+    PS_STREAMS="1 4 16" PS_SECONDS=20 python scripts/perf_streaming.py
+
+Single-stream RTF over the axon tunnel is dominated by the per-chunk
+dispatch floor (~30-45 ms/call); K streams amortize it, which is the point
+of the batched multi-stream mode.
+"""
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path.home() / ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from generative_audio_tpu.models import FullSubNetPlus, FullSubNetPlusConfig
+from generative_audio_tpu.eval.inferencer import Inferencer, InferencerConfig
+from generative_audio_tpu.eval.streaming import StreamingEnhancer
+
+SR = 16000
+SECONDS = int(os.environ.get("PS_SECONDS", "20"))
+STREAMS = [int(s) for s in os.environ.get("PS_STREAMS", "1 4 16").split()]
+FEED = int(os.environ.get("PS_FEED_MS", "100")) * SR // 1000  # samples/feed
+
+
+def main():
+    print(f"device: {jax.devices()[0].device_kind}", flush=True)
+    config = FullSubNetPlusConfig()
+    model = FullSubNetPlus(config, compute_dtype=jnp.bfloat16)
+    dummy = jnp.zeros((1, 1, config.num_freqs, 16), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy,
+                                 dummy)["params"]
+    inf = Inferencer(model.apply, variables={"params": params},
+                     config=InferencerConfig(chunk_length_seconds=1))
+
+    rng = np.random.default_rng(0)
+    length = SR * SECONDS
+    for k in STREAMS:
+        wavs = rng.standard_normal((k, length)).astype(np.float32) * 0.05
+        stream = StreamingEnhancer(inf, n_streams=k)
+        # warm pass: compile the [k, chunk+pre_roll] program
+        stream.feed(wavs[:, : SR + 256 + 1])
+        stream.flush()
+        t0 = time.perf_counter()
+        got = 0
+        for pos in range(0, length, FEED):
+            got += np.shape(stream.feed(wavs[:, pos:pos + FEED]))[-1]
+        got += np.shape(stream.flush())[-1]
+        wall = time.perf_counter() - t0
+        assert got == length, (got, length)
+        agg = k * SECONDS / wall
+        print(f"K={k:3d} x {SECONDS} s, {FEED / SR * 1000:.0f} ms feeds: "
+              f"{wall:6.2f} s wall, aggregate {agg:7.1f}x realtime "
+              f"({agg / k:6.1f}x per stream)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

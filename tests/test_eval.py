@@ -422,3 +422,29 @@ def test_streaming_multi_stream_batch(rng):
         stream.feed(noisy[0])                  # 1-D into a K-stream group
     with pytest.raises(ValueError):
         stream.feed(noisy[:2])                 # wrong row count
+
+
+def test_streaming_flush_edge_cases(rng):
+    """flush() on an empty stream returns nothing; a stream shorter than one
+    chunk still matches the offline mode exactly (single zero-padded
+    chunk)."""
+    from generative_audio_tpu.eval.streaming import StreamingEnhancer
+
+    def passthrough(variables, wav):
+        return wav * 0.5
+
+    inf = Inferencer(passthrough, variables={},
+                     config=InferencerConfig(chunk_length_seconds=1))
+    stream = StreamingEnhancer(inf)
+
+    # nothing fed: flush is empty and the instance stays usable
+    out = stream.flush()
+    assert out.shape == (0,)
+    assert stream.rtf is None
+
+    # shorter than one chunk (16000 samples at 1 s chunks)
+    short = rng.standard_normal(5000).astype(np.float32) * 0.1
+    offline = inf.overlapped_chunk(short)
+    assert stream.feed(short).shape == (0,)    # not finalizable yet
+    streamed = stream.flush()
+    np.testing.assert_array_equal(streamed, offline)
