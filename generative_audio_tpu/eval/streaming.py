@@ -16,9 +16,11 @@ enhanced audio with bounded latency:
 Multi-stream serving: feed [K, n] arrays instead of [n] and K synchronized
 live streams (a conference bridge, a fan-in server) share ONE batched chunk
 program, amortizing the per-chunk dispatch floor across K streams (measured
-over the axon tunnel: 16 streams sustain 81x realtime aggregate vs 11x for
-one serial stream; a co-located host approaches the offline batched mode's
-2000x-class throughput since the chunk compute itself is the same program).
+over the axon tunnel with `scripts/perf_streaming.py`: 16 streams sustain
+76-81x realtime aggregate vs 12-17x for one serial stream; a co-located
+host approaching the offline batched mode's 2000x-class throughput is an
+EXTRAPOLATION — the chunk compute is the same program, but it has not been
+measured without the tunnel in between).
 
 Guarantee: feed()/flush() produce BIT-IDENTICAL output to
 `Inferencer.overlapped_chunk` on the concatenated input (same compiled
@@ -180,6 +182,14 @@ class StreamingEnhancer:
         final enhanced samples, cropping the stream to its exact length —
         the offline mode's `num_chunks = len//hop + 1` then `[:len]`
         tail handling (ref :203, :245). Resets the stream afterwards."""
+        if self._total == 0:
+            # nothing was fed: skip the zero-padded device chunk (which over
+            # the TPU tunnel wastes a dispatch, or a cold compile) and return
+            # the empty-shaped output directly
+            self.last_rtf = self.rtf
+            out = np.zeros((self.n_streams, 0), np.float32)
+            self.reset()
+            return self._shape_out(out)
         num_chunks = int(self._total / self.hop) + 1
         out = []
         while self._chunk_idx < num_chunks:

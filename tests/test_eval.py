@@ -430,17 +430,23 @@ def test_streaming_flush_edge_cases(rng):
     chunk)."""
     from generative_audio_tpu.eval.streaming import StreamingEnhancer
 
+    calls = []
+
     def passthrough(variables, wav):
+        calls.append(wav.shape)
         return wav * 0.5
 
     inf = Inferencer(passthrough, variables={},
                      config=InferencerConfig(chunk_length_seconds=1))
     stream = StreamingEnhancer(inf)
 
-    # nothing fed: flush is empty and the instance stays usable
+    # nothing fed: flush is empty, runs NO device chunk (a zero-padded chunk
+    # over the tunnel would waste a dispatch / a cold compile), and the
+    # instance stays usable
     out = stream.flush()
     assert out.shape == (0,)
     assert stream.rtf is None
+    assert calls == []
 
     # shorter than one chunk (16000 samples at 1 s chunks)
     short = rng.standard_normal(5000).astype(np.float32) * 0.1
