@@ -9,8 +9,11 @@ This image carries none of those native wheels, so:
     pystoi's constants (10 kHz, 256/512/128 frames, 15 third-octave bands
     from 150 Hz, 384 ms segments, beta = -15 dB, 40 dB silence trim).
   * Extended STOI (eSTOI, Jensen & Taal 2016) included.
-  * WB/NB PESQ and MOSNET dispatch to the optional `pesq`/`speechmetrics`
-    wheels when installed and raise a clear MetricUnavailable otherwise.
+  * WB/NB PESQ compute via the from-scratch ITU-T P.862 / P.862.2
+    implementation in eval/pesq/ (the optional `pesq` C wheel is preferred
+    when installed, for bit-exactness with the reference).
+  * MOSNET dispatches to the optional `speechmetrics` wheel when installed
+    and raises a clear MetricUnavailable otherwise.
   * transform_pesq_range + the composite (STOI + PESQ)/2 validation score
     (base_trainer.py:255-303) are provided for best-model selection.
 """
@@ -173,31 +176,34 @@ def ESTOI(ref, est, sr: int = 16000) -> float:
 
 
 # ----------------------------------------------------------------- PESQ ----
-def WB_PESQ(ref, est, sr: int = 16000) -> float:
-    """Wide-band PESQ via the optional `pesq` C extension (metrics.py:92-101)."""
+def _pesq_impl():
+    """The ITU `pesq` C wheel when installed (bit-exact to the reference's
+    metric, metrics.py:92-116); otherwise this package's from-scratch
+    P.862/P.862.2 implementation (eval/pesq/), which always computes."""
     try:
-        from pesq import pesq
-    except ImportError as e:
-        raise MetricUnavailable(
-            "WB_PESQ requires the `pesq` wheel (not in this image)") from e
+        from pesq import pesq as wheel_pesq   # optional C wheel
+        return wheel_pesq
+    except ImportError:
+        from generative_audio_tpu.eval.pesq import pesq as local_pesq
+        return local_pesq
+
+
+def WB_PESQ(ref, est, sr: int = 16000) -> float:
+    """Wide-band PESQ (P.862.2 MOS-LQO), ref metrics.py:92-101."""
     if sr != 16000:
-        ref = resample_poly(ref, 16000, sr)
-        est = resample_poly(est, 16000, sr)
-    return float(pesq(16000, ref, est, "wb"))
+        g = np.gcd(int(sr), 16000)
+        ref = resample_poly(ref, up=16000 // g, down=sr // g)
+        est = resample_poly(est, up=16000 // g, down=sr // g)
+    return float(_pesq_impl()(16000, ref, est, "wb"))
 
 
 def NB_PESQ(ref, est, sr: int = 16000) -> float:
     """Narrow-band PESQ; resamples to 8 kHz first (metrics.py:103-116)."""
-    try:
-        from pesq import pesq
-    except ImportError as e:
-        raise MetricUnavailable(
-            "NB_PESQ requires the `pesq` wheel (not in this image)") from e
     if sr != 8000:
         g = np.gcd(int(sr), 8000)   # gcd form: correct for e.g. sr=44100
         ref = resample_poly(ref, up=8000 // g, down=sr // g)
         est = resample_poly(est, up=8000 // g, down=sr // g)
-    return float(pesq(8000, ref, est, "nb"))
+    return float(_pesq_impl()(8000, ref, est, "nb"))
 
 
 def SDR(reference, estimation, sr: int = 16000) -> float:
@@ -232,8 +238,14 @@ def transform_pesq_range(pesq_score: float) -> float:
 def composite_validation_score(stoi_score: float,
                                wb_pesq_score: Optional[float]) -> float:
     """(STOI + transformed WB-PESQ) / 2, the reference's best-model criterion
-    (base_trainer.py:296-303). Falls back to STOI alone when PESQ is
-    unavailable."""
+    (base_trainer.py:296-303). PESQ is required: the from-scratch P.862
+    implementation (eval/pesq/) always computes in this image, so a None
+    here means the caller's validation produced no PESQ value at all —
+    refuse rather than silently rank on a different criterion."""
     if wb_pesq_score is None:
-        return stoi_score
+        raise ValueError(
+            "composite_validation_score requires a WB-PESQ value; the "
+            "reference criterion is (STOI + transform_pesq_range(PESQ))/2 "
+            "(base_trainer.py:296-303). Handle missing PESQ explicitly at "
+            "the call site instead of passing None.")
     return (stoi_score + transform_pesq_range(wb_pesq_score)) / 2

@@ -59,14 +59,16 @@ class ModelValidator:
 
     def calculate_metrics(self, clean: np.ndarray, enhanced: np.ndarray
                           ) -> Dict[str, Optional[float]]:
-        """Ref model_validator.py:37-82; unavailable native metrics (PESQ
-        without the C wheel) record None instead of crashing."""
+        """Ref model_validator.py:37-82; unavailable metrics (MOSNET
+        without its wheel) and unscoreable clips (PESQ on silent/too-short
+        audio) record None instead of crashing a validation run."""
+        from generative_audio_tpu.eval.pesq import PesqError
         out: Dict[str, Optional[float]] = {}
         for name in self.metric_names:
             fn = M.REGISTERED_METRICS[name]
             try:
                 out[name] = float(fn(clean, enhanced, self.sr))
-            except M.MetricUnavailable:
+            except (M.MetricUnavailable, PesqError):
                 out[name] = None
         return out
 

@@ -14,6 +14,7 @@ the model's sharding constraint. XLA inserts the gradient all-reduce.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from functools import partial
 from typing import Optional, Tuple
 
@@ -296,8 +297,15 @@ class EnhanceTrainer:
         self._validator.variables = {"params": self.state.params}
         means = self._validator.validate_dataset(dataset, max_items=max_items,
                                                  log=lambda *_: None)
-        means["composite"] = composite_validation_score(
-            means.get("STOI") or 0.0, means.get("WB_PESQ"))
+        if means.get("WB_PESQ") is None:
+            # every clip failed PESQ (silent/too short) — rank on STOI and
+            # say so, rather than hiding the criterion change
+            warnings.warn("validation produced no WB_PESQ value; composite "
+                          "falls back to STOI for this epoch")
+            means["composite"] = means.get("STOI") or 0.0
+        else:
+            means["composite"] = composite_validation_score(
+                means.get("STOI") or 0.0, means["WB_PESQ"])
         return means
 
     def train(self, loader, epochs: int, val_dataset=None,

@@ -51,15 +51,24 @@ def test_estoi_ordering(rng):
     assert M.ESTOI(clean, noisy) < M.ESTOI(clean, clean.copy())
 
 
-def test_pesq_gated():
-    with pytest.raises(M.MetricUnavailable):
+def test_pesq_computes_in_image(rng):
+    """WB/NB PESQ compute via the from-scratch P.862 implementation (no
+    wheel needed); all-zero references are rejected as unscoreable."""
+    clean = _speech_like(rng, 32000)
+    noisy = clean + 0.1 * rng.standard_normal(len(clean))
+    wb = M.WB_PESQ(clean, noisy, sr=16000)
+    nb = M.NB_PESQ(clean, noisy, sr=16000)
+    assert 1.0 <= wb <= 4.7 and 1.0 <= nb <= 4.6
+    from generative_audio_tpu.eval.pesq import PesqError
+    with pytest.raises(PesqError):
         M.WB_PESQ(np.zeros(16000), np.zeros(16000))
 
 
 def test_transform_pesq_range():
     assert M.transform_pesq_range(4.5) == 1.0
     assert M.transform_pesq_range(-0.5) == 0.0
-    assert M.composite_validation_score(0.9, None) == 0.9
+    with pytest.raises(ValueError):
+        M.composite_validation_score(0.9, None)   # no silent fallback
     np.testing.assert_allclose(M.composite_validation_score(0.8, 3.0),
                                (0.8 + 0.7) / 2)
 
@@ -142,7 +151,7 @@ def test_model_validator(tmp_path, rng):
                        metric_names=("STOI", "SI_SDR", "WB_PESQ"))
     means = v.validate_dataset(DS(), output_path=tmp_path / "res.json",
                                log=lambda *a: None)
-    assert means["WB_PESQ"] is None          # gated without the C wheel
+    assert means["WB_PESQ"] is not None      # from-scratch P.862 computes
     assert means["SI_SDR"] is not None and means["STOI"] is not None
     assert (tmp_path / "res.json").exists()
 
