@@ -42,8 +42,24 @@ def rice_write(bw: BitWriter, residuals, param: int):
         bw.write(u & ((1 << param) - 1), param)
 
 
-def flac_stream(frames, sr=16000, channels=1, bps=16, total=0):
-    """frames: list of callables(bw, block_size) writing the subframes."""
+# frame-header block-size codes with an implied size (no trailing field):
+# code 1 -> 192; codes 2-5 -> 576 << (c-2); codes 8-15 -> 256 << (c-8)
+BS_CODE_TABLE = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5,
+                 256: 8, 512: 9, 1024: 10, 2048: 11, 4096: 12,
+                 8192: 13, 16384: 14, 32768: 15}
+# frame-header sample-size codes overriding STREAMINFO bps
+SS_CODE_TABLE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+
+
+def flac_stream(frames, sr=16000, channels=1, bps=16, total=0,
+                ss_code=0, use_bs_table=False):
+    """frames: list of (block_size, ch_code, callable(bw, block_size))
+    writing the subframes.
+
+    ss_code: frame-header sample-size code (0 = take bps from STREAMINFO;
+    see SS_CODE_TABLE). use_bs_table: encode the block size with an
+    implied-size code from BS_CODE_TABLE instead of the 8/16-bit
+    size-at-end forms."""
     out = bytearray(b"fLaC")
     bw = BitWriter()
     bw.write(1, 1)          # last metadata block
@@ -66,15 +82,21 @@ def flac_stream(frames, sr=16000, channels=1, bps=16, total=0):
         bw.write(0b11111111111110, 14)
         bw.write(0, 1)       # reserved
         bw.write(0, 1)       # fixed blocking
-        bs_code = 6 if block_size <= 256 else 7   # 8- or 16-bit size at end
+        if use_bs_table:
+            bs_code = BS_CODE_TABLE[block_size]
+        else:
+            bs_code = 6 if block_size <= 256 else 7  # 8/16-bit size at end
         bw.write(bs_code, 4)
         bw.write(0, 4)       # sample rate: from streaminfo
         bw.write(ch_code, 4)
-        bw.write(0, 3)       # sample size: from streaminfo
+        bw.write(ss_code, 3)
         bw.write(0, 1)       # reserved
         assert idx < 128
         bw.write(idx, 8)     # UTF-8 frame number (single byte)
-        bw.write(block_size - 1, 8 if bs_code == 6 else 16)
+        if bs_code == 6:
+            bw.write(block_size - 1, 8)
+        elif bs_code == 7:
+            bw.write(block_size - 1, 16)
         bw.write(0, 8)       # CRC-8 (decoder skips)
         write_subframes(bw, block_size)
         bw.align()
