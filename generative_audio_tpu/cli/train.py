@@ -78,6 +78,10 @@ def main(argv=None):
         if multiprocess:
             trainer.state = D.replicate_from_coordinator(
                 dist_mesh, trainer.state)
+            if getattr(trainer, "restoration_variables", None) is not None:
+                # the image-NPPC frozen branch must be global too
+                trainer.restoration_variables = D.replicate_from_coordinator(
+                    dist_mesh, trainer.restoration_variables)
             # best-model scalars must also agree across ranks: save_best is
             # a COLLECTIVE orbax save, so if best_score diverged (e.g. a
             # resume from a non-shared checkpoint filesystem restored it on
@@ -119,7 +123,8 @@ def main(argv=None):
             build_dataclass(AudioInpaintingConfig, data_cfg))
         loader = BatchLoader(dataset, collate_fn=collate_inpainting,
                              **{"global_batch_size": 16, **loader_cfg})
-        trainer = T.RestorationTrainer(cfg, checkpoint_dir=checkpoint_dir)
+        trainer = T.RestorationTrainer(cfg, checkpoint_dir=checkpoint_dir,
+                                       mesh=dist_mesh)
         if args.resume:
             trainer.restore_latest()
         _dist_state(trainer)
@@ -153,7 +158,7 @@ def main(argv=None):
                              **{"global_batch_size": 16, **loader_cfg})
         trainer = T.NPPCInpaintingTrainer(
             cfg, restoration_variables=restoration_vars,
-            checkpoint_dir=checkpoint_dir)
+            checkpoint_dir=checkpoint_dir, mesh=dist_mesh)
         if args.resume:
             trainer.restore_latest()
         _dist_state(trainer)
@@ -166,7 +171,8 @@ def main(argv=None):
         cfg = build_dataclass(T.NPPCDenoisingTrainConfig, raw.get("train"))
         dataset = AudioDataset(build_dataclass(AudioDataSetConfig, data_cfg))
         loader = BatchLoader(dataset, **{"global_batch_size": 8, **loader_cfg})
-        trainer = T.NPPCDenoisingTrainer(cfg, checkpoint_dir=checkpoint_dir)
+        trainer = T.NPPCDenoisingTrainer(cfg, checkpoint_dir=checkpoint_dir,
+                                         mesh=dist_mesh)
         if args.resume:
             trainer.restore_latest()
         _dist_state(trainer)
@@ -179,7 +185,9 @@ def main(argv=None):
         cfg = build_dataclass(ImageRestorationConfig, raw.get("train"))
         run = raw.get("run", {})
         trainer = T.ImageRestorationTrainer(cfg,
-                                            checkpoint_dir=checkpoint_dir)
+                                            checkpoint_dir=checkpoint_dir,
+                                            mesh=dist_mesh)
+        _dist_state(trainer)
         trainer.train(n_steps=args.steps or run.get("n_steps", 1000),
                       batch_size=run.get("batch_size", 32),
                       benchmark_every=run.get("benchmark_every"), log=log)
@@ -208,7 +216,9 @@ def main(argv=None):
         cfg = build_dataclass(ImageNPPCConfig, raw.get("train"))
         run = raw.get("run", {})
         trainer = T.ImageNPPCTrainer(cfg, rest_model, rest_vars,
-                                     checkpoint_dir=checkpoint_dir)
+                                     checkpoint_dir=checkpoint_dir,
+                                     mesh=dist_mesh)
+        _dist_state(trainer)
         trainer.train(n_steps=args.steps or run.get("n_steps", 1000),
                       batch_size=run.get("batch_size", 32),
                       benchmark_every=run.get("benchmark_every"), log=log)

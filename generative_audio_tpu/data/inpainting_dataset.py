@@ -16,7 +16,8 @@ from typing import Callable, Dict, List, Optional, Tuple
 import numpy as np
 
 from generative_audio_tpu.data.audio_io import load_audio
-from generative_audio_tpu.ops.waveform import energy_vad_segments
+from generative_audio_tpu.ops.waveform import (
+    energy_vad_segments, spectral_entropy_vad_segments)
 from generative_audio_tpu.ops.stft import stft_ri
 
 __all__ = ["AudioInpaintingConfig", "AudioInpaintingSample",
@@ -43,6 +44,10 @@ class AudioInpaintingConfig:
     stft_configuration: StftSettings = dataclasses.field(
         default_factory=StftSettings)
     use_vad: bool = False
+    # "entropy" -> ops.waveform.spectral_entropy_vad_segments (the
+    # silero-class detector); "energy" -> the reference's own energy VAD.
+    # Ignored when a custom vad_fn is injected.
+    vad_type: str = "entropy"
     seed: Optional[int] = None
     is_random_sub_sample: bool = True
     file_glob: str = "*.flac"
@@ -165,9 +170,15 @@ class AudioInpaintingDataset:
         """Speech-aware gap placement (ref :183-221)."""
         if not self.config.use_vad:
             return self._create_random_mask(audio_length, rng)
-        vad = self.vad_fn or (lambda a, sr: energy_vad_segments(
-            a, sr, min_duration_ms=int(
-                self.config.missing_length_seconds * 1000)))
+        min_ms = int(self.config.missing_length_seconds * 1000)
+        if self.vad_fn is not None:
+            vad = self.vad_fn
+        elif self.config.vad_type == "entropy":
+            vad = (lambda a, sr: spectral_entropy_vad_segments(
+                a, sr, min_duration_ms=min_ms))
+        else:
+            vad = (lambda a, sr: energy_vad_segments(
+                a, sr, min_duration_ms=min_ms))
         segments = vad(audio, self.config.sample_rate)
         segments = [s for s in segments
                     if s[1] - s[0] > self.config.missing_length]

@@ -36,15 +36,26 @@ __all__ = ["ImageRestorationTrainer", "ImageNPPCTrainer"]
 
 
 class _ImageTrainerBase:
-    """Shared loop/benchmark/best-model scaffolding."""
+    """Shared loop/benchmark/best-model scaffolding.
 
-    def __init__(self, checkpoint_dir, config_for_ckpt, seed):
+    `mesh` (set by the subclasses) enables data-parallel training — the
+    reference's DDP wrap of the image nets (nppc/auxil.py:251,297-308):
+    params replicated, each batch sharded on the "data" axis via
+    place_batch, gradient all-reduce inserted by XLA."""
+
+    def __init__(self, checkpoint_dir, config_for_ckpt, seed, mesh=None):
+        self.mesh = mesh
         self.ckpt = (CheckpointManager(checkpoint_dir, config_for_ckpt)
                      if checkpoint_dir else None)
         self._rng = jax.random.PRNGKey(seed + 1)
         self.loss_history = []
         self.best_score = None
         self.best_params = None
+
+    def _place(self, batch):
+        from generative_audio_tpu.parallel import place_batch
+        return place_batch(jnp.asarray(batch) if self.mesh is None
+                           else batch, self.mesh)
 
     def _next_rng(self):
         self._rng, key = jax.random.split(self._rng)
@@ -154,16 +165,19 @@ class ImageRestorationTrainer(_ImageTrainerBase):
 
     def __init__(self, config: ImageRestorationConfig,
                  model: Optional[ImageRestorationModel] = None,
-                 checkpoint_dir: Optional[str] = None, seed: int = 0):
+                 checkpoint_dir: Optional[str] = None, seed: int = 0,
+                 mesh=None):
         self.config = config
         self.model = model or ImageRestorationModel(config)
-        super().__init__(checkpoint_dir, config, seed)
+        super().__init__(checkpoint_dir, config, seed, mesh=mesh)
 
         variables = jit_init(self.model.init)(
             jax.random.PRNGKey(config.random_seed))
         tx = make_optimizer(config.lr, (0.9, 0.999),
                             weight_decay=config.weight_decay)
-        self.state = create_train_state(variables["params"], tx)
+        from generative_audio_tpu.parallel import replicate_state
+        self.state = replicate_state(
+            create_train_state(variables["params"], tx), mesh)
         self._variables_extra = {k: v for k, v in variables.items()
                                  if k != "params"}
         # donate the state (argnum 0): the old TrainState is dead after
@@ -196,7 +210,7 @@ class ImageRestorationTrainer(_ImageTrainerBase):
 
     def step(self, x_org: np.ndarray) -> float:
         self.state, loss = self._step_fn(self.state, self._next_rng(),
-                                         jnp.asarray(x_org))
+                                         self._place(x_org))
         return float(loss)
 
     def benchmark(self, batch_size: int = 32, max_samples: int = 256) -> float:
@@ -206,7 +220,7 @@ class ImageRestorationTrainer(_ImageTrainerBase):
                                    batch_size, max_samples):
             key = jax.random.fold_in(jax.random.PRNGKey(42), len(losses))
             losses.append(float(self._eval_fn(self.state, key,
-                                              jnp.asarray(batch))))
+                                              self._place(batch))))
             weights.append(len(batch))
         return float(np.average(losses, weights=weights))
 
@@ -237,21 +251,30 @@ class ImageNPPCTrainer(_ImageTrainerBase):
     def __init__(self, config: ImageNPPCConfig,
                  restoration_model: ImageRestorationModel,
                  restoration_variables,
-                 checkpoint_dir: Optional[str] = None, seed: int = 0):
+                 checkpoint_dir: Optional[str] = None, seed: int = 0,
+                 mesh=None):
         self.config = config
         self.restoration_model = restoration_model
         self.restoration_variables = jax.tree_util.tree_map(
             jax.lax.stop_gradient, restoration_variables)
         self.model = ImageNPPCModel(config, restoration_model)
-        super().__init__(checkpoint_dir, config, seed)
+        super().__init__(checkpoint_dir, config, seed, mesh=mesh)
 
         variables = jit_init(self.model.init)(
             jax.random.PRNGKey(config.random_seed))
         tx = make_optimizer(config.lr, (0.9, 0.999),
                             weight_decay=config.weight_decay)
-        self.state = create_train_state(variables["params"]
-                                        if "params" in variables
-                                        else variables, tx)
+        from generative_audio_tpu.parallel import replicate_state
+        self.state = replicate_state(
+            create_train_state(variables["params"]
+                               if "params" in variables
+                               else variables, tx), mesh)
+        # the frozen restoration branch rides in every step: replicate it
+        # too so a sharded step never mixes committed single-device
+        # constants with mesh-placed operands
+        if mesh is not None:
+            self.restoration_variables = replicate_state(
+                self.restoration_variables, mesh)
         # donate the state (argnum 0): the old TrainState is dead after
         # each step, donation drops its preservation copies
         self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
@@ -293,7 +316,7 @@ class ImageNPPCTrainer(_ImageTrainerBase):
 
     def step(self, x_org: np.ndarray) -> float:
         self.state, objective, _ = self._step_fn(
-            self.state, self._next_rng(), jnp.asarray(x_org))
+            self.state, self._next_rng(), self._place(x_org))
         return float(objective)
 
     def benchmark(self, batch_size: int = 32, max_samples: int = 256) -> float:
@@ -304,7 +327,7 @@ class ImageNPPCTrainer(_ImageTrainerBase):
                 batch_size, max_samples):
             key = jax.random.fold_in(jax.random.PRNGKey(42), len(vals))
             vals.append(float(self._eval_fn(self.state, key,
-                                            jnp.asarray(batch))))
+                                            self._place(batch))))
             weights.append(len(batch))
         return float(np.average(vals, weights=weights))
 

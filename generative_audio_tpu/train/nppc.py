@@ -59,12 +59,19 @@ class NPPCInpaintingTrainConfig:
 
 class NPPCInpaintingTrainer:
     """Trains ONLY the PC-wrapper params; the restoration sub-model is frozen
-    (zero-grad via stop_gradient + masked out of the optimizer update)."""
+    (zero-grad via stop_gradient + masked out of the optimizer update).
+
+    `mesh` enables data-parallel training (the reference's DDP wrap,
+    nppc/auxil.py:297-308): params replicated, batches sharded on the
+    "data" axis, gradient all-reduce inserted by XLA. Multi-process runs
+    lift the state via cli.train's replicate_from_coordinator instead."""
 
     def __init__(self, config: NPPCInpaintingTrainConfig,
                  restoration_variables=None,
-                 checkpoint_dir: Optional[str] = None, seed: int = 0):
+                 checkpoint_dir: Optional[str] = None, seed: int = 0,
+                 mesh=None):
         self.config = config
+        self.mesh = mesh
         self.model = InpaintingNPPCModel(config.model)
         dummy = jnp.zeros((1, 1, config.num_freqs, config.num_frames))
         variables = jit_init(lambda k: self.model.init(
@@ -93,6 +100,8 @@ class NPPCInpaintingTrainer:
             {"train": tx, "frozen": optax.set_to_zero()},
             param_labels=jax.tree_util.Partial(self._label))
         self.state = create_train_state(params, tx, batch_stats=batch_stats)
+        from generative_audio_tpu.parallel import replicate_state
+        self.state = replicate_state(self.state, mesh)
         self.ckpt = (CheckpointManager(checkpoint_dir, config)
                      if checkpoint_dir else None)
         self._rng = jax.random.PRNGKey(seed + 1)
@@ -215,10 +224,12 @@ class NPPCInpaintingTrainer:
         # a per-step float() sync serializes dispatch over the tunnel).
         pending = []
         step = int(self.state.step)
+        from generative_audio_tpu.parallel import place_batch
         for batch in loop:
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, obj, reconst = self._step_fn(
-                self.state, step_rng, (batch[0], batch[1], batch[2]))
+                self.state, step_rng,
+                place_batch((batch[0], batch[1], batch[2]), self.mesh))
             pending.append((obj, reconst))
             step += 1
             if step % self.config.log_interval == 0:
@@ -240,9 +251,12 @@ class NPPCInpaintingTrainer:
         return self.loss_history
 
     def validate(self, val_loader):
+        from generative_audio_tpu.parallel import place_batch
         objs, recs = [], []
         for batch in val_loader:
-            o, r = self._eval_fn(self.state, (batch[0], batch[1], batch[2]))
+            o, r = self._eval_fn(
+                self.state,
+                place_batch((batch[0], batch[1], batch[2]), self.mesh))
             objs.append(float(o))
             recs.append(float(r))
         return float(np.mean(objs)), float(np.mean(recs))
@@ -290,13 +304,15 @@ class NPPCDenoisingTrainConfig:
 
 
 class NPPCDenoisingTrainer:
-    """Ref nppc_audio/trainer.py:40-371."""
+    """Ref nppc_audio/trainer.py:40-371. `mesh` enables data-parallel
+    training (see NPPCInpaintingTrainer)."""
 
     def __init__(self, config: NPPCDenoisingTrainConfig,
                  restoration_params=None,
                  checkpoint_dir: Optional[str] = None, seed: int = 0,
-                 example_length: int = 16384):
+                 example_length: int = 16384, mesh=None):
         self.config = config
+        self.mesh = mesh
         self.model = DenoisingNPPCModel(config.model)
         dummy = jnp.zeros((1, example_length))
         params = jit_init(self.model.init)(
@@ -313,6 +329,8 @@ class NPPCDenoisingTrainer:
             param_labels=jax.tree_util.Partial(
                 NPPCInpaintingTrainer._label))
         self.state = create_train_state(params, tx)
+        from generative_audio_tpu.parallel import replicate_state
+        self.state = replicate_state(self.state, mesh)
         self.ckpt = (CheckpointManager(checkpoint_dir, config)
                      if checkpoint_dir else None)
         # donate the state (argnum 0): the old TrainState is dead after
@@ -353,9 +371,10 @@ class NPPCDenoisingTrainer:
         # on-device metrics between log points (see NPPCInpaintingTrainer)
         pending = []
         step = int(self.state.step)
+        from generative_audio_tpu.parallel import place_batch
         for batch in loop:
             self.state, obj, reconst = self._step_fn(
-                self.state, (batch[0], batch[1]))
+                self.state, place_batch((batch[0], batch[1]), self.mesh))
             pending.append((obj, reconst))
             step += 1
             if step % self.config.log_interval == 0:

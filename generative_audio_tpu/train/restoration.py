@@ -43,9 +43,16 @@ class RestorationTrainConfig:
 
 
 class RestorationTrainer:
+    """`mesh` enables data-parallel training (the reference's DDP wrap,
+    nppc/auxil.py:297-308): params replicated, batches sharded on the
+    "data" axis, gradient all-reduce inserted by XLA. Multi-process runs
+    lift the state via cli.train's replicate_from_coordinator instead."""
+
     def __init__(self, config: RestorationTrainConfig,
-                 checkpoint_dir: Optional[str] = None, seed: int = 0):
+                 checkpoint_dir: Optional[str] = None, seed: int = 0,
+                 mesh=None):
         self.config = config
+        self.mesh = mesh
         self.model = InpaintingRestorationModel(config.model)
 
         dummy = jnp.zeros((1, 1, config.num_freqs, config.num_frames))
@@ -56,6 +63,8 @@ class RestorationTrainer:
                             clip_norm=config.clip_grad_norm)
         self.state = create_train_state(variables["params"], tx,
                                         batch_stats=variables["batch_stats"])
+        from generative_audio_tpu.parallel import replicate_state
+        self.state = replicate_state(self.state, mesh)
         self.ckpt = (CheckpointManager(checkpoint_dir, config)
                      if checkpoint_dir else None)
         self._rng = jax.random.PRNGKey(seed + 1)
@@ -100,11 +109,12 @@ class RestorationTrainer:
         # on TPU — that serializes dispatch. Bulk-fetch at log_interval.
         pending = []
         step = int(self.state.step)
+        from generative_audio_tpu.parallel import place_batch
         for batch in loop:
-            masked_spec, mask_frames, clean_spec = batch[0], batch[1], batch[2]
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, loss = self._step_fn(
-                self.state, step_rng, (masked_spec, mask_frames, clean_spec))
+                self.state, step_rng,
+                place_batch((batch[0], batch[1], batch[2]), self.mesh))
             pending.append(loss)
             step += 1
             if step % self.config.log_interval == 0:
@@ -124,10 +134,12 @@ class RestorationTrainer:
         return self.loss_history
 
     def validate(self, val_loader) -> float:
+        from generative_audio_tpu.parallel import place_batch
         losses = []
         for batch in val_loader:
             losses.append(float(self._eval_fn(
-                self.state, (batch[0], batch[1], batch[2]))))
+                self.state,
+                place_batch((batch[0], batch[1], batch[2]), self.mesh))))
         return float(np.mean(losses))
 
     def _save(self, step: int, final: bool = False):

