@@ -129,11 +129,19 @@ def global_batch_from_local(mesh, local_batch):
     local_batch is a pytree of np arrays holding THIS process's rows
     (axis 0). The result is a pytree of global jax.Arrays sharded over the
     mesh's "data" axis; no host ever materializes the full batch.
+
+    Non-numeric / scalar leaves (e.g. collate_inpainting's metadata dict of
+    paths, transcriptions, mask indices) stay PROCESS-LOCAL, matching torch
+    DDP semantics where each rank's loader yields its own metadata — only
+    model tensors become global arrays.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def put(x):
         x = np.asarray(x)
+        if x.ndim == 0 or not (np.issubdtype(x.dtype, np.number)
+                               or x.dtype == np.bool_):
+            return x[()] if x.ndim == 0 else x
         sharding = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
         return jax.make_array_from_process_local_data(sharding, x)
 
