@@ -308,26 +308,39 @@ def train(epochs: int, tag: str = "", pool: int = 200,
     # divide by the steps it ran, not the cumulative count after a resume
     seg_steps = steps - start_step
 
-    # final full validation with the BEST params restored
+    # final full validation with the BEST params restored; widen the
+    # trainer's validator to the full metric set (the in-loop composite
+    # only needs STOI + WB_PESQ; the report also records NB_PESQ)
     from generative_audio_tpu.train.checkpoint import CheckpointManager
     best = CheckpointManager(str(ckpt_dir)).restore(
         "best", {"params": trainer.state.params})
     if best is not None:
         trainer.state = trainer.state.replace(params=best["params"])
+    if getattr(trainer, "_validator", None) is None:
+        trainer.validate(val_ds, max_items=1)   # build the validator cache
+    trainer._validator.metric_names = ["STOI", "SI_SDR",
+                                       "WB_PESQ", "NB_PESQ"]
     final = trainer.validate(val_ds, max_items=len(val_ds))
     final_hard = trainer.validate(val_hard_ds, max_items=len(val_hard_ds))
 
-    # noisy baselines on the same pairs
-    from generative_audio_tpu.eval.metrics import SI_SDR, STOI
+    # noisy baselines on the same pairs (host metrics, incl. P.862 PESQ)
+    from generative_audio_tpu.eval.metrics import (
+        SI_SDR, STOI, WB_PESQ, NB_PESQ)
+    from generative_audio_tpu.eval.pesq import PesqError
 
     def baseline(ds):
-        sisdr, stoi = [], []
+        vals = {"SI_SDR": [], "STOI": [], "WB_PESQ": [], "NB_PESQ": []}
         for i in range(len(ds)):
             noisy, clean = ds[i]
-            sisdr.append(SI_SDR(clean, noisy))
-            stoi.append(STOI(clean, noisy))
-        return {"SI_SDR": float(np.mean(sisdr)),
-                "STOI": float(np.mean(stoi))}
+            vals["SI_SDR"].append(SI_SDR(clean, noisy))
+            vals["STOI"].append(STOI(clean, noisy))
+            for name, fn in (("WB_PESQ", WB_PESQ), ("NB_PESQ", NB_PESQ)):
+                try:
+                    vals[name].append(fn(clean, noisy))
+                except PesqError:
+                    pass                          # unscoreable clip
+        return {k: (float(np.mean(v)) if v else None)
+                for k, v in vals.items()}
 
     summary = {
         "epochs": epochs, "steps": steps, "seconds": dt,
@@ -359,7 +372,7 @@ def report():
     n_noise = len(noise_files) or int(s.get("n_noise_types", 12))
 
     def table(fin, base):
-        return [
+        rows = [
             "| metric | noisy input | enhanced (best ckpt) | delta |",
             "|---|---|---|---|",
             f"| SI-SDR (dB) | {base['SI_SDR']:.2f} | {fin['SI_SDR']:.2f} | "
@@ -367,6 +380,13 @@ def report():
             f"| STOI | {base['STOI']:.4f} | {fin['STOI']:.4f} | "
             f"{fin['STOI'] - base['STOI']:+.4f} |",
         ]
+        for key, label in (("WB_PESQ", "WB-PESQ (P.862.2)"),
+                           ("NB_PESQ", "NB-PESQ (P.862)")):
+            if fin.get(key) is not None and base.get(key) is not None:
+                rows.append(
+                    f"| {label} | {base[key]:.3f} | {fin[key]:.3f} | "
+                    f"{fin[key] - base[key]:+.3f} |")
+        return rows
 
     lines = [
         "# FullSubNet+ enhancement — on-chip quality run",
@@ -375,11 +395,14 @@ def report():
         f"full-size model (512/384 hidden, F=257, drop_band G=2), "
         f"bf16 compute.",
         "",
-        "Training: DNS-style dynamic mixing (10 speakers of real speech x "
+        "Training: DNS-style dynamic mixing (10 speakers of real speech, "
+        "3x speed-perturbed 0.9x/1.1x to 60 clips, x "
         f"{n_noise} synthetic noise types, SNR -5..20 dB, dBFS jitter ±10); "
         "validation on fixed pairs from 2 HELD-OUT speakers at SNR "
-        "{0, 5} dB. Best model selected by composite_validation_score "
-        "(STOI; PESQ wheel absent from image). Reference loop: "
+        "{0, 5} dB. Best model selected by the reference's composite "
+        "criterion (STOI + transform_pesq_range(WB-PESQ))/2 "
+        "(base_trainer.py:296-303), WB-PESQ computed by the from-scratch "
+        "ITU-T P.862.2 implementation (eval/pesq/). Reference loop: "
         "fullsubnet_plus/trainer/trainer.py:309-446.",
         "",
         f"{s['epochs']} epochs / {s['steps']} steps in "
@@ -401,6 +424,11 @@ def report():
         f"{s['loss_last_epoch']:.5f} (epoch {s['epochs']}).",
         "",
         "## Run history (findings that shaped this configuration)",
+        "",
+        "Note: the ablations below predate the from-scratch P.862 "
+        "implementation — their best-model selection ran on a STOI-only "
+        "composite (recorded as such at the time). The headline tables "
+        "above use the reference's true (STOI + PESQ)/2 criterion.",
         "",
         "1. **6-type noise bank generalization failure** (2026-08-17, "
         "`training_summary_div.json` holds the A/B). The first run trained "
@@ -583,6 +611,10 @@ def finetune(epochs: int, lr: float = 2e-5, base_tag: str = "",
         best = CheckpointManager(str(ROOT / f"ckpt{base_tag}")).restore(
             "best", {"params": trainer.state.params}, partial=True)
     trainer.state = trainer.state.replace(params=best["params"])
+    if getattr(trainer, "_validator", None) is None:
+        trainer.validate(val_ds, max_items=1)
+    trainer._validator.metric_names = ["STOI", "SI_SDR",
+                                       "WB_PESQ", "NB_PESQ"]
     final = trainer.validate(val_ds, max_items=len(val_ds))
     final_hard = trainer.validate(val_hard_ds, max_items=len(val_hard_ds))
     summary = {

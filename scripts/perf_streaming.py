@@ -54,15 +54,25 @@ def main():
         stream.flush()
         t0 = time.perf_counter()
         got = 0
+        finalize_ms = []       # feed() calls that completed >=1 chunk and
+        buffer_ms = []         # pure buffer-append feeds (no device work)
         for pos in range(0, length, FEED):
-            got += np.shape(stream.feed(wavs[:, pos:pos + FEED]))[-1]
+            f0 = time.perf_counter()
+            out = stream.feed(wavs[:, pos:pos + FEED])
+            dt = (time.perf_counter() - f0) * 1e3
+            (finalize_ms if np.shape(out)[-1] > 0 else buffer_ms).append(dt)
+            got += np.shape(out)[-1]
         got += np.shape(stream.flush())[-1]
         wall = time.perf_counter() - t0
         assert got == length, (got, length)
         agg = k * SECONDS / wall
+        p50, p95 = np.percentile(finalize_ms, [50, 95])
         print(f"K={k:3d} x {SECONDS} s, {FEED / SR * 1000:.0f} ms feeds: "
               f"{wall:6.2f} s wall, aggregate {agg:7.1f}x realtime "
-              f"({agg / k:6.1f}x per stream)", flush=True)
+              f"({agg / k:6.1f}x per stream); feed-to-finalized "
+              f"p50 {p50:6.1f} ms / p95 {p95:6.1f} ms "
+              f"(buffer-only feeds p50 "
+              f"{np.percentile(buffer_ms, 50):5.2f} ms)", flush=True)
 
 
 if __name__ == "__main__":
