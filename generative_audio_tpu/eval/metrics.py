@@ -20,7 +20,9 @@ This image carries none of those native wheels, so:
 from __future__ import annotations
 
 import functools
+import os
 import warnings
+from pathlib import Path
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -216,8 +218,35 @@ def SDR(reference, estimation, sr: int = 16000) -> float:
 
 
 def MOSNET(ref, est, sr: int = 16000) -> float:
+    """MOS prediction of `est` (ref is unused, matching metrics.py:119-130).
+
+    Dispatch order: the `speechmetrics` wheel when installed (the
+    reference's exact scorer); else the first-party CNN-BLSTM architecture
+    (eval/mosnet.py) with keras weights transplanted from the file named
+    by $GAT_MOSNET_WEIGHTS (e.g. speechmetrics' mosnet.h5). With neither,
+    the metric is honestly unavailable — the net's weights are a trained
+    artifact that cannot be fabricated in-image.
+    """
+    try:
+        import speechmetrics  # the reference's scorer, lazy like metrics.py:122
+        global _mos_metrics
+        if "_mos_metrics" not in globals() or _mos_metrics is None:
+            _mos_metrics = speechmetrics.load("mosnet", 10)
+        return float(np.mean(_mos_metrics(est, rate=sr)["mosnet"]))
+    except ImportError:
+        pass
+    weights = os.environ.get("GAT_MOSNET_WEIGHTS", "")
+    if weights and Path(weights).exists():
+        from generative_audio_tpu.eval.mosnet import (
+            load_keras_h5, mosnet_score)
+        global _mos_variables
+        if "_mos_variables" not in globals() or _mos_variables is None:
+            _mos_variables = load_keras_h5(weights)
+        return mosnet_score(est, _mos_variables, sr=sr)
     raise MetricUnavailable(
-        "MOSNET requires the speechmetrics package (not in this image)")
+        "MOSNET needs the speechmetrics wheel or $GAT_MOSNET_WEIGHTS "
+        "pointing at its keras mosnet.h5 (the eval/mosnet.py architecture "
+        "computes with transplanted weights)")
 
 
 REGISTERED_METRICS: Dict[str, Callable] = {
