@@ -17,6 +17,8 @@ from generative_audio_tpu.data.dns_dataset import (  # noqa: F401
     parse_snr_range,
 )
 from generative_audio_tpu.data.loader import BatchLoader, LoopIterator  # noqa: F401
+from generative_audio_tpu.data.rir import (  # noqa: F401
+    image_source_rir, make_rir_bank)
 from generative_audio_tpu.data.sample_generator import (  # noqa: F401
     TestSampleGenerator, write_synthetic_corpus,
 )

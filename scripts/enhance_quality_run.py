@@ -251,17 +251,73 @@ def perturb_speech(factors=((0.9, "sp09"), (1.1, "sp11"))):
           f"{len(list(clean_dir.glob('*.wav')))}")
 
 
-def stage_mixture_pool(n_batches: int, batch: int = 18, seed: int = 1):
+def reverb_corpus(n_rirs: int = 40):
+    """Reverb lever (reference dataset_train.py:129-182): synthesize an
+    image-source RIR bank (data/rir.py) + scp lists for DNSTrainDataset,
+    and fixed `val_reverb` pairs — noisy = reverb(clean) + noise at SNR
+    {0, 5}, reference = reverb(clean), matching snr_mix's semantics (the
+    model denoises under reverb; it is not trained to dereverb)."""
+    from scipy.signal import fftconvolve
+    from generative_audio_tpu.data.audio_io import load_audio, write_wav
+    from generative_audio_tpu.data.rir import make_rir_bank
+    from generative_audio_tpu.ops.waveform import tailor_dB_FS
+
+    scp = make_rir_bank(ROOT / "train" / "rir", n=n_rirs, seed=3, sr=SR)
+    for sub in ("clean", "noise"):
+        files = sorted((ROOT / "train" / sub).glob("*.wav"))
+        (ROOT / "train" / f"{sub}.scp").write_text(
+            "\n".join(str(p) for p in files) + "\n")
+    print(f"RIR bank: {len(scp.read_text().splitlines())} rooms")
+
+    rng = np.random.default_rng(23)
+    rirs = [load_audio(p, SR) for p in scp.read_text().splitlines()[:8]]
+    val_dir = ROOT / "val_reverb"
+    (val_dir / "noisy").mkdir(parents=True, exist_ok=True)
+    (val_dir / "clean").mkdir(parents=True, exist_ok=True)
+    dry = PairFileDataset(ROOT / "val")
+    for i in range(len(dry)):
+        _, clean = dry[i]
+        rvb = fftconvolve(clean, rirs[i % len(rirs)])[: len(clean)]
+        rvb, *_ = tailor_dB_FS(rvb, -25.0)
+        noise = rng.standard_normal(len(rvb)).astype(np.float32)
+        noise, *_ = tailor_dB_FS(noise, -25.0)
+        snr = (0.0, 5.0)[i % 2]
+        gain = (np.sqrt(np.mean(rvb ** 2))
+                / (np.sqrt(np.mean(noise ** 2)) * 10 ** (snr / 20) + 1e-9))
+        noisy = rvb + gain * noise
+        peak = np.abs(noisy).max()
+        if peak > 0.99:
+            rvb, noisy = rvb * 0.99 / peak, noisy * 0.99 / peak
+        write_wav(val_dir / "noisy" / f"v{i:03d}.wav", noisy, SR)
+        write_wav(val_dir / "clean" / f"v{i:03d}.wav", rvb, SR)
+    print(f"val_reverb pairs: {len(dry)}")
+
+
+def stage_mixture_pool(n_batches: int, batch: int = 18, seed: int = 1,
+                       reverb: bool = False):
     """Pre-mix a pool of (noisy, clean) waveform batches on the host and
     stage them to the device ONCE — on-the-fly mixing feeds the chip at
-    ~2.6 s/step over the tunnel (measured), pre-staged pools at ~0.3 s."""
+    ~2.6 s/step over the tunnel (measured), pre-staged pools at ~0.3 s.
+    With `reverb`, mixing goes through DNSTrainDataset + the synthetic
+    RIR bank at reverb_proportion 0.5 (run the `reverb` stage first)."""
     import jax
     from generative_audio_tpu.data import AudioDataset, AudioDataSetConfig
-    dataset = AudioDataset(AudioDataSetConfig(
-        clean_path=str(ROOT / "train" / "clean"),
-        noisy_path=str(ROOT / "train" / "noise"),
-        sub_sample_length_seconds=3.072, snr_range=(-5, 20),
-        target_dB_FS=-25.0, target_dB_FS_floating_value=10.0), seed=seed)
+    if reverb:
+        from generative_audio_tpu.data import DNSTrainConfig, DNSTrainDataset
+        dataset = DNSTrainDataset(DNSTrainConfig(
+            clean_dataset=str(ROOT / "train" / "clean.scp"),
+            noise_dataset=str(ROOT / "train" / "noise.scp"),
+            rir_dataset=str(ROOT / "train" / "rir" / "rir.scp"),
+            reverb_proportion=0.5, snr_range=(-5, 20),
+            target_dB_FS=-25.0, target_dB_FS_floating_value=10.0,
+            sub_sample_length=3.072), seed=seed)
+    else:
+        dataset = AudioDataset(AudioDataSetConfig(
+            clean_path=str(ROOT / "train" / "clean"),
+            noisy_path=str(ROOT / "train" / "noise"),
+            sub_sample_length_seconds=3.072, snr_range=(-5, 20),
+            target_dB_FS=-25.0, target_dB_FS_floating_value=10.0),
+            seed=seed)
     rng = np.random.default_rng(seed)
     pool = []
     for _ in range(n_batches):
@@ -274,15 +330,15 @@ def stage_mixture_pool(n_batches: int, batch: int = 18, seed: int = 1):
 
 
 def train(epochs: int, tag: str = "", pool: int = 200,
-          pool_seed: int = 1):
+          pool_seed: int = 1, reverb: bool = False):
     import jax
     from generative_audio_tpu.train import EnhanceTrainConfig, EnhanceTrainer
     from generative_audio_tpu.utils.tracking import ExperimentTracker
 
-    print(f"backend={jax.default_backend()}")
+    print(f"backend={jax.default_backend()}, reverb={reverb}")
     cfg = EnhanceTrainConfig()       # full-size FullSubNet+ (512/384, G=2)
     t0 = time.time()
-    loader = stage_mixture_pool(pool, seed=pool_seed)
+    loader = stage_mixture_pool(pool, seed=pool_seed, reverb=reverb)
     print(f"staged {pool} mixture batches (seed {pool_seed}) "
           f"in {time.time() - t0:.0f}s")
     val_ds = PairFileDataset(ROOT / "val")
@@ -322,6 +378,10 @@ def train(epochs: int, tag: str = "", pool: int = 200,
                                        "WB_PESQ", "NB_PESQ"]
     final = trainer.validate(val_ds, max_items=len(val_ds))
     final_hard = trainer.validate(val_hard_ds, max_items=len(val_hard_ds))
+    final_reverb = None
+    if (ROOT / "val_reverb" / "noisy").exists():
+        rv_ds = PairFileDataset(ROOT / "val_reverb")
+        final_reverb = trainer.validate(rv_ds, max_items=len(rv_ds))
 
     # noisy baselines on the same pairs (host metrics, incl. P.862 PESQ)
     from generative_audio_tpu.eval.metrics import (
@@ -356,7 +416,12 @@ def train(epochs: int, tag: str = "", pool: int = 200,
         "final_best_model_hard": final_hard,
         "noisy_baseline_hard": baseline(val_hard_ds),
         "n_noise_types": len(list((ROOT / "train" / "noise").glob("*.wav"))),
+        "reverb_train": reverb,
     }
+    if final_reverb is not None:
+        summary["final_best_model_reverb"] = final_reverb
+        summary["noisy_baseline_reverb"] = baseline(
+            PairFileDataset(ROOT / "val_reverb"))
     ARTIFACTS.mkdir(parents=True, exist_ok=True)
     (ARTIFACTS / f"training_summary{tag}.json").write_text(
         json.dumps(summary, indent=2, default=float))
@@ -558,6 +623,42 @@ def report():
                 f"SI-SDR {w5c['final_best_model_hard']['SI_SDR']:.2f} dB / "
                 f"STOI {w5c['final_best_model_hard']['STOI']:.4f}).",
             ]
+    rv_path = ARTIFACTS / "training_summary_rv.json"
+    if rv_path.exists() and "final_best_model_reverb" in s:
+        rv = json.loads(rv_path.read_text())
+        dry_r, rv_r = s["final_best_model_reverb"], \
+            rv["final_best_model_reverb"]
+        lines += [
+            "",
+            "## Reverb A/B — synthetic image-source RIR bank "
+            "(data/rir.py)",
+            "",
+            "The reference's DNS training convolves clean speech with "
+            "measured RIRs at `reverb_proportion` (dataset_train.py:"
+            "129-182). No RIR corpus exists in-image, so the bank is "
+            "synthesized (Allen-Berkley image-source, 40 random rooms, "
+            "RT60 0.15-0.6 s) and training A/B'd at reverb_proportion "
+            "0.5 (`train --reverb`). Scored on dry pairs (val) and "
+            "reverberant pairs (val_reverb: noisy = reverb(clean)+noise, "
+            "reference = reverb(clean) — the denoise-under-reverb task, "
+            "matching snr_mix target semantics).",
+            "",
+            "| model | dry SI-SDR | dry STOI | reverb SI-SDR | reverb "
+            "STOI | reverb WB-PESQ |",
+            "|---|---|---|---|---|---|",
+            f"| dry-trained | {s['final_best_model']['SI_SDR']:.2f} | "
+            f"{s['final_best_model']['STOI']:.4f} | "
+            f"{dry_r['SI_SDR']:.2f} | {dry_r['STOI']:.4f} | "
+            f"{dry_r.get('WB_PESQ', float('nan')):.3f} |",
+            f"| reverb-trained | {rv['final_best_model']['SI_SDR']:.2f} "
+            f"| {rv['final_best_model']['STOI']:.4f} | "
+            f"{rv_r['SI_SDR']:.2f} | {rv_r['STOI']:.4f} | "
+            f"{rv_r.get('WB_PESQ', float('nan')):.3f} |",
+            "",
+            "Noisy-input reverb baseline: SI-SDR "
+            f"{s['noisy_baseline_reverb']['SI_SDR']:.2f} dB / STOI "
+            f"{s['noisy_baseline_reverb']['STOI']:.4f}.",
+        ]
     (ARTIFACTS / "REPORT.md").write_text("\n".join(lines) + "\n")
     print((ARTIFACTS / "REPORT.md").read_text())
 
@@ -634,7 +735,8 @@ def finetune(epochs: int, lr: float = 2e-5, base_tag: str = "",
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "stage", choices=["corpus", "augment", "perturb", "train", "finetune", "report"])
+        "stage", choices=["corpus", "augment", "perturb", "reverb", "train",
+                          "finetune", "report"])
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--pool", type=int, default=200,
                         help="staged mixture batches for the train stage")
@@ -648,6 +750,9 @@ def main():
                         help="suffix for ckpt dir / tracker run / summary")
     parser.add_argument("--wide", action="store_true",
                         help="perturb: also add 0.8x/1.25x (5x corpus)")
+    parser.add_argument("--reverb", action="store_true",
+                        help="train: mix through DNSTrainDataset with the "
+                        "synthetic RIR bank at reverb_proportion 0.5")
     args = parser.parse_args()
     if args.stage == "corpus":
         build_corpus()
@@ -658,9 +763,11 @@ def main():
         if args.wide:
             factors += ((0.8, "sp08"), (1.25, "sp125"))
         perturb_speech(factors)
+    elif args.stage == "reverb":
+        reverb_corpus()
     elif args.stage == "train":
         train(args.epochs, args.tag, pool=args.pool,
-              pool_seed=args.pool_seed)
+              pool_seed=args.pool_seed, reverb=args.reverb)
     elif args.stage == "finetune":
         finetune(args.epochs, lr=args.lr,
                  base_tag=args.base_tag,
