@@ -17,10 +17,12 @@ Multi-stream serving: feed [K, n] arrays instead of [n] and K synchronized
 live streams (a conference bridge, a fan-in server) share ONE batched chunk
 program, amortizing the per-chunk dispatch floor across K streams (measured
 over the axon tunnel with `scripts/perf_streaming.py`: 16 streams sustain
-76-81x realtime aggregate vs 12-17x for one serial stream; a co-located
-host approaching the offline batched mode's 2000x-class throughput is an
-EXTRAPOLATION — the chunk compute is the same program, but it has not been
-measured without the tunnel in between).
+76-93x realtime aggregate vs 12-17x for one serial stream, with
+feed()-to-finalized latency p50 28/40/83 ms at K=1/4/16 under 100 ms paced
+feeds — artifacts/perf/streaming_latency.txt; a co-located host approaching
+the offline batched mode's 2000x-class throughput is an EXTRAPOLATION — the
+chunk compute is the same program, but it has not been measured without the
+tunnel in between).
 
 Guarantee: feed()/flush() produce BIT-IDENTICAL output to
 `Inferencer.overlapped_chunk` on the concatenated input (same compiled
