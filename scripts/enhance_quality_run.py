@@ -453,6 +453,11 @@ def report():
                     f"{fin[key] - base[key]:+.3f} |")
         return rows
 
+    def pesq_s(d, key="WB_PESQ"):
+        # summaries written before the from-scratch P.862 landed hold null
+        v = d.get(key)
+        return f"{v:.3f}" if v is not None else "n/a (pre-P.862 run)"
+
     lines = [
         "# FullSubNet+ enhancement — on-chip quality run",
         "",
@@ -488,12 +493,43 @@ def report():
         f"cIRM-MSE train loss: {s['loss_first_epoch']:.5f} (epoch 1) -> "
         f"{s['loss_last_epoch']:.5f} (epoch {s['epochs']}).",
         "",
+    ]
+    ft_path = ARTIFACTS / "training_summary_ft.json"
+    if ft_path.exists():
+        ft = json.loads(ft_path.read_text())
+        verdict = ("fine-tuning improved the best composite to "
+                   f"{ft['best_composite']:.4f}" if ft["improved_over_base"]
+                   else "no fine-tune validation beat the base best — "
+                   "best-model selection kept the base checkpoint")
+        lines += [
+            "",
+            "## Fine-tune stage (Trainer_Finetune semantics)",
+            "",
+            f"Preloaded the base run's best params (`finetune` stage, "
+            f"lr {ft['lr']:g}, {ft['epochs']} epochs; reference "
+            "`_preload_model` strict=False fine-tune path, "
+            f"base_trainer.py:112-127): {verdict}. Final best-model "
+            "held-out metrics: SI-SDR "
+            f"{ft['final_best_model']['SI_SDR']:.2f} dB / STOI "
+            f"{ft['final_best_model']['STOI']:.4f} / WB-PESQ "
+            f"{pesq_s(ft['final_best_model'])} "
+            "(train-noise types), "
+            f"SI-SDR {ft['final_best_model_hard']['SI_SDR']:.2f} dB / "
+            f"STOI {ft['final_best_model_hard']['STOI']:.4f} / WB-PESQ "
+            f"{pesq_s(ft['final_best_model_hard'])}"
+            " (unseen noise).",
+        ]
+    lines += [
+        "",
         "## Run history (findings that shaped this configuration)",
         "",
-        "Note: the ablations below predate the from-scratch P.862 "
-        "implementation — their best-model selection ran on a STOI-only "
-        "composite (recorded as such at the time). The headline tables "
-        "above use the reference's true (STOI + PESQ)/2 criterion.",
+        "Note: the ablations below (including the speed-perturbation "
+        "sections) predate the from-scratch P.862 implementation — their "
+        "best-model selection ran on a STOI-only composite (recorded as "
+        "such at the time), and their historical numbers are kept for the "
+        "data-scale findings they document. The headline tables, "
+        "fine-tune stage, and reverb A/B above/below use the reference's "
+        "true (STOI + transform_pesq_range(WB-PESQ))/2 criterion.",
         "",
         "1. **6-type noise bank generalization failure** (2026-08-17, "
         "`training_summary_div.json` holds the A/B). The first run trained "
@@ -518,28 +554,6 @@ def report():
         "base_trainer.py): the model is validation-plateaued at this "
         "data scale and fixed lr, not under-trained.",
     ]
-    ft_path = ARTIFACTS / "training_summary_ft.json"
-    if ft_path.exists():
-        ft = json.loads(ft_path.read_text())
-        verdict = ("fine-tuning improved the best composite to "
-                   f"{ft['best_composite']:.4f}" if ft["improved_over_base"]
-                   else "no fine-tune validation beat the base best — "
-                   "best-model selection kept the base checkpoint")
-        lines += [
-            "",
-            "## Fine-tune stage (Trainer_Finetune semantics)",
-            "",
-            f"Preloaded the base run's best params (`finetune` stage, "
-            f"lr {ft['lr']:g}, {ft['epochs']} epochs; reference "
-            "`_preload_model` strict=False fine-tune path, "
-            f"base_trainer.py:112-127): {verdict}. Final best-model "
-            "held-out metrics: SI-SDR "
-            f"{ft['final_best_model']['SI_SDR']:.2f} dB / STOI "
-            f"{ft['final_best_model']['STOI']:.4f} (train-noise types), "
-            f"SI-SDR {ft['final_best_model_hard']['SI_SDR']:.2f} dB / "
-            f"STOI {ft['final_best_model_hard']['STOI']:.4f} "
-            "(unseen noise).",
-        ]
     sp_path = ARTIFACTS / "training_summary_sp.json"
     if sp_path.exists():
         sp = json.loads(sp_path.read_text())
@@ -649,11 +663,11 @@ def report():
             f"| dry-trained | {s['final_best_model']['SI_SDR']:.2f} | "
             f"{s['final_best_model']['STOI']:.4f} | "
             f"{dry_r['SI_SDR']:.2f} | {dry_r['STOI']:.4f} | "
-            f"{dry_r.get('WB_PESQ', float('nan')):.3f} |",
+            f"{pesq_s(dry_r)} |",
             f"| reverb-trained | {rv['final_best_model']['SI_SDR']:.2f} "
             f"| {rv['final_best_model']['STOI']:.4f} | "
             f"{rv_r['SI_SDR']:.2f} | {rv_r['STOI']:.4f} | "
-            f"{rv_r.get('WB_PESQ', float('nan')):.3f} |",
+            f"{pesq_s(rv_r)} |",
             "",
             "Noisy-input reverb baseline: SI-SDR "
             f"{s['noisy_baseline_reverb']['SI_SDR']:.2f} dB / STOI "
