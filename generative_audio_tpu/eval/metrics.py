@@ -14,6 +14,9 @@ This image carries none of those native wheels, so:
     when installed, for bit-exactness with the reference).
   * MOSNET dispatches to the optional `speechmetrics` wheel when installed
     and raises a clear MetricUnavailable otherwise.
+  * SDR computes via the from-scratch single-source BSS Eval v3 in
+    eval/bss.py (the optional `mir_eval` wheel is preferred when
+    installed) — every metric in this module now computes in-image.
   * transform_pesq_range + the composite (STOI + PESQ)/2 validation score
     (base_trainer.py:255-303) are provided for best-model selection.
 """
@@ -209,12 +212,19 @@ def NB_PESQ(ref, est, sr: int = 16000) -> float:
 
 
 def SDR(reference, estimation, sr: int = 16000) -> float:
+    """BSS Eval v3 SDR (512-tap distortion filters), ref metrics.py:56-58.
+
+    The mir_eval wheel is preferred when installed (bit-exactness with the
+    reference); otherwise the from-scratch single-source implementation in
+    eval/bss.py computes — see its docstring for how it is pinned."""
     try:
         from mir_eval.separation import bss_eval_sources
-    except ImportError as e:
-        raise MetricUnavailable("SDR requires mir_eval") from e
-    sdr, _, _, _ = bss_eval_sources(reference[None, :], estimation[None, :])
-    return float(sdr)
+        sdr, _, _, _ = bss_eval_sources(reference[None, :],
+                                        estimation[None, :])
+        return float(sdr)
+    except ImportError:
+        from generative_audio_tpu.eval.bss import bss_eval_sdr
+        return bss_eval_sdr(reference, estimation)
 
 
 def MOSNET(ref, est, sr: int = 16000) -> float:
