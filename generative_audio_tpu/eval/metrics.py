@@ -262,9 +262,11 @@ def MOSNET(ref, est, sr: int = 16000) -> float:
 REGISTERED_METRICS: Dict[str, Callable] = {
     "SI_SDR": SI_SDR,
     "STOI": STOI,
-    "ESTOI": ESTOI,
+    "ESTOI": ESTOI,      # extension beyond the reference registry
     "WB_PESQ": WB_PESQ,
     "NB_PESQ": NB_PESQ,
+    "SDR": SDR,          # extension: the reference defines SDR but leaves
+                         # it out of its registry (metrics.py:133-139)
     "MOSNET": MOSNET,
 }
 
