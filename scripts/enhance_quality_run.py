@@ -685,12 +685,33 @@ def report():
                 "another data-scale lever on this corpus (same mechanism "
                 "as the speed-perturbation findings above).",
             ]
+        rvft_path = ARTIFACTS / "training_summary_rv_ft.json"
+        if rvft_path.exists():
+            rvft = json.loads(rvft_path.read_text())
+            verdict_rv = (
+                f"improved the best composite to {rvft['best_composite']:.4f}"
+                if rvft["improved_over_base"] else
+                "plateaued below the carried-over base best (composite "
+                f"stayed {rvft['best_composite']:.4f})")
+            rv_ft_reverb = rvft.get("final_best_model_reverb") or {}
+            reverb_clause = (
+                f"; reverb-pair SI-SDR "
+                f"{rv_ft_reverb['SI_SDR']:.2f} dB / STOI "
+                f"{rv_ft_reverb['STOI']:.4f}" if rv_ft_reverb else "")
+            lines += [
+                "",
+                "Fine-tuning the reverb-trained best at lr "
+                f"{rvft['lr']:g} (reverb mixing kept on) {verdict_rv} "
+                f"(SI-SDR {rvft['final_best_model']['SI_SDR']:.2f} dB / "
+                f"STOI {rvft['final_best_model']['STOI']:.4f}"
+                f"{reverb_clause}).",
+            ]
     (ARTIFACTS / "REPORT.md").write_text("\n".join(lines) + "\n")
     print((ARTIFACTS / "REPORT.md").read_text())
 
 
 def finetune(epochs: int, lr: float = 2e-5, base_tag: str = "",
-             tag: str = "_ft"):
+             tag: str = "_ft", reverb: bool = False):
     """Fine-tune stage: preload the base run's BEST params at a lower lr
     (reference Trainer_Finetune + _preload_model strict=False semantics,
     base_trainer.py:112-127) — the legitimate lever against the fixed-lr
@@ -703,7 +724,7 @@ def finetune(epochs: int, lr: float = 2e-5, base_tag: str = "",
 
     print(f"backend={jax.default_backend()}, finetune lr={lr}")
     cfg = EnhanceTrainConfig(learning_rate=lr)
-    loader = stage_mixture_pool(200, seed=11)
+    loader = stage_mixture_pool(200, seed=11, reverb=reverb)
     val_ds = PairFileDataset(ROOT / "val")
     val_hard_ds = PairFileDataset(ROOT / "val_hard")
 
@@ -744,8 +765,13 @@ def finetune(epochs: int, lr: float = 2e-5, base_tag: str = "",
                                        "WB_PESQ", "NB_PESQ"]
     final = trainer.validate(val_ds, max_items=len(val_ds))
     final_hard = trainer.validate(val_hard_ds, max_items=len(val_hard_ds))
+    final_reverb = None
+    if (ROOT / "val_reverb" / "noisy").exists():
+        rv_ds = PairFileDataset(ROOT / "val_reverb")
+        final_reverb = trainer.validate(rv_ds, max_items=len(rv_ds))
     summary = {
         "epochs": epochs, "lr": lr, "seconds": dt,
+        "reverb_train": reverb,
         "improved_over_base": improved and
         trainer.best_score > (CheckpointManager(
             str(ROOT / f"ckpt{base_tag}")).best_score() or -1e9),
@@ -753,6 +779,8 @@ def finetune(epochs: int, lr: float = 2e-5, base_tag: str = "",
         "final_best_model": final, "final_best_model_hard": final_hard,
         "val_history": trainer.val_history,
     }
+    if final_reverb is not None:
+        summary["final_best_model_reverb"] = final_reverb
     (ARTIFACTS / f"training_summary{tag}.json").write_text(
         json.dumps(summary, indent=2, default=float))
     print(json.dumps(summary, indent=2, default=float))
@@ -797,7 +825,8 @@ def main():
     elif args.stage == "finetune":
         finetune(args.epochs, lr=args.lr,
                  base_tag=args.base_tag,
-                 tag=(args.tag + "_ft") if args.tag else "_ft")
+                 tag=(args.tag + "_ft") if args.tag else "_ft",
+                 reverb=args.reverb)
     else:
         report()
 
