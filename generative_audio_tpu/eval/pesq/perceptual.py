@@ -122,15 +122,25 @@ def freq_resp_compensation(ref: PerceptualFrames,
                            deg: PerceptualFrames) -> np.ndarray:
     """Partial transfer-function equalisation factors (applied to ref).
 
-    Averages are over speech-active frames only (total audible power at
-    100x threshold above the silence criterion on the REFERENCE)."""
+    The standard's time_avg_audible_of semantics: per band, sum only
+    the AUDIBLE cell values (pitch power > 100x the band's absolute
+    threshold) over speech-active frames (total audible power at 100x
+    threshold above the silence criterion on the REFERENCE), divided
+    by the total frame count — the same denominator for ref and deg,
+    so it cancels in the ratio, but the audibility gating does not:
+    it keeps sub-threshold valley bands out of the averages, which is
+    what makes the +1000 offset a genuinely *partial* compensation."""
     table = ref.table
     active = (total_audible(ref.pitch_pow, table, 100.0)
               > _SILENCE_CRITERION)
     if not np.any(active):
         return np.ones(table.nb)
-    avg_ref = ref.pitch_pow[active].mean(axis=0)
-    avg_deg = deg.pitch_pow[active].mean(axis=0)
+    n_total = len(ref.pitch_pow)
+    gate = 100.0 * table.abs_thresh_power[None, :]
+    pr = ref.pitch_pow[active]
+    pd = deg.pitch_pow[active]
+    avg_ref = np.sum(np.where(pr > gate, pr, 0.0), axis=0) / n_total
+    avg_deg = np.sum(np.where(pd > gate, pd, 0.0), axis=0) / n_total
     factor = (avg_deg + _FREQ_OFFSET) / (avg_ref + _FREQ_OFFSET)
     return np.clip(factor, _FREQ_MIN, _FREQ_MAX)
 

@@ -23,11 +23,18 @@ standard is built on:
   * absolute threshold of hearing: Terhardt 1979,
         ATH(f)[dB SPL] = 3.64 f_k^-0.8 - 6.5 e^{-0.6 (f_k-3.3)^2}
                          + 1e-3 f_k^4   (f_k in kHz)
-    converted to P.862 internal power units with a +14.3 dB calibration
-    constant anchored so the 1 kHz band threshold lands at the
-    magnitude the standard's internal level convention implies
-    (signals are normalised to 1e7 average band-passed power ~ 79 dB
-    SPL active speech level, P.862 (sec) 10.1.2).
+    converted to P.862 internal power units with a -5.9 dB calibration
+    constant anchored to the magnitudes of the standard's published
+    abs_thresh_power table (ANSI-C appendix): the ITU values bottom
+    out near 0.24 internal power (~ -6.2 dB) around 3 kHz and sit at
+    ~0.5-2 through 1-2 kHz, i.e. about 6 dB below the raw Terhardt
+    curve in the speech bands.  The original +14.3 dB anchor was a
+    20 dB miscalibration: it put every threshold ~100x too high,
+    which disabled the standard's audibility gating and drove the
+    +1000/+50 "partial compensation" offsets to negligibility —
+    measured to inflate broadband-noisy real speech by ~1.7 MOS-LQO
+    (operating points pinned by tests/test_pesq.py and audited in
+    scripts/pesq_family_audit.py / BASELINE.md).
 
 Residual numeric differences against the ITU tables are pinned by the
 gated wheel-parity test in tests/test_pesq.py the day a `pesq` wheel
@@ -61,8 +68,9 @@ def _ath_db_spl(f_hz):
 
 
 # Calibration of the Terhardt threshold into P.862 internal power units;
-# anchored at the 1 kHz band (see module docstring).
-_ATH_CALIBRATION_DB = 14.3
+# anchored to the published ITU abs_thresh_power magnitudes (see module
+# docstring): 1 kHz lands at ~0.56, the 3 kHz minimum at ~0.09.
+_ATH_CALIBRATION_DB = -5.9
 
 
 @dataclass(frozen=True)

