@@ -486,6 +486,7 @@ def _external_flac_decoders():
     return found
 
 
+@pytest.mark.gated
 @pytest.mark.skipif(not _external_flac_decoders(),
                     reason="no external FLAC decoder in this image "
                            "(soundfile/torchaudio/flac); runs the day one "

@@ -230,6 +230,7 @@ def test_metric_env_weights_path(tmp_path, monkeypatch):
     metrics._mos_variables = None
 
 
+@pytest.mark.gated
 def test_against_speechmetrics_wheel():
     """Standing gated parity test: pins the transplant + forward against
     the reference's scorer the day the wheel exists in an image."""

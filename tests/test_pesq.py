@@ -244,6 +244,7 @@ def _real_wheel():
         else None
 
 
+@pytest.mark.gated
 @pytest.mark.skipif(_real_wheel() is None,
                     reason="`pesq` wheel not installed in this image")
 def test_parity_against_pesq_wheel():

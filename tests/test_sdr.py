@@ -93,6 +93,7 @@ def test_registry_entry_computes():
     assert np.isfinite(out) and out > 10.0
 
 
+@pytest.mark.gated
 def test_parity_against_mir_eval_wheel():
     """Standing gate: the day a mir_eval wheel appears, pin against it."""
     mir = pytest.importorskip("mir_eval.separation")

@@ -186,6 +186,7 @@ def test_stoi_sanity_properties():
     assert evals == sorted(evals, reverse=True), evals
 
 
+@pytest.mark.gated
 def test_stoi_matches_pystoi_wheel_when_available():
     """Standing wheel-parity gate (VERDICT r2 weak #3): the moment a
     pystoi wheel appears in the environment, our STOI/eSTOI must match it
