@@ -51,11 +51,25 @@ N_VAL_POOL = 4
 
 
 # ----------------------------------------------------------------- corpus --
-def build_corpus():
+def build_corpus(augmented: bool = False):
+    """FLAC corpus; with `augmented`, the round-4 overfit levers
+    (VERDICT r3 item 4): wide speed perturbation (0.8x/1.25x on top of
+    0.9x/1.1x, the 5x Kaldi recipe) and an image-source RIR reverb copy
+    of every train source (data/rir.py — the same bank the enhancement
+    line's reverb arm uses, ref dataset_train.py:129-182). Validation
+    stays natural-speed dry so the held-out regime is unchanged."""
     from scipy.io import wavfile
+    from scipy.signal import fftconvolve
     from tests.flac_writer import flac_stream, _subframe_header
 
     from generative_audio_tpu.data import speed_perturb
+
+    rirs = []
+    if augmented:
+        from generative_audio_tpu.data.audio_io import load_audio
+        from generative_audio_tpu.data.rir import make_rir_bank
+        scp = make_rir_bank(WORK / "rir", n=20, seed=7, sr=SR)
+        rirs = [load_audio(p, SR) for p in scp.read_text().splitlines()]
 
     wavs = sorted(REF_WAVS.glob("*.wav"))
     assert len(wavs) >= 12, f"expected reference wavs under {REF_WAVS}"
@@ -68,14 +82,25 @@ def build_corpus():
         variants = [(None, 1.0)]
         if split == "train":
             variants += [("sp0.9", 0.9), ("sp1.1", 1.1)]
-        sources = [(spk_base + 100 * vi, wav_path, factor)
+            if augmented:
+                variants += [("sp0.8", 0.8), ("sp1.25", 1.25)]
+        sources = [(spk_base + 100 * vi, wav_path, factor, False)
                    for vi, (_, factor) in enumerate(variants)
                    for spk_base, wav_path in enumerate(files)]
-        for spk, wav_path, factor in sources:
+        if split == "train" and augmented:
+            sources += [(spk + 1000, wav_path, factor, True)
+                        for spk, wav_path, factor, _ in sources]
+        for spk, wav_path, factor, reverb in sources:
             sr, pcm = wavfile.read(wav_path)
             assert sr == SR and pcm.dtype == np.int16
-            if factor != 1.0:
-                x = speed_perturb(pcm.astype(np.float32) / 32768.0, factor)
+            if factor != 1.0 or reverb:
+                x = pcm.astype(np.float32) / 32768.0
+                if factor != 1.0:
+                    x = speed_perturb(x, factor)
+                if reverb:
+                    rir = rirs[spk % len(rirs)]
+                    x = fftconvolve(x, rir)[: len(x)]
+                    x *= 0.95 / max(np.abs(x).max(), 1e-9)
                 pcm = np.clip(np.round(x * 32768.0),
                               -32768, 32767).astype(np.int16)
             chap_dir = CORPUS / split / f"{spk:03d}" / "000"
@@ -160,21 +185,25 @@ def put_pool(batches):
 
 
 # ------------------------------------------------------------ restoration --
-def train_restoration(steps: int):
+def train_restoration(steps: int, dropout: float = 0.2, tag: str = ""):
     import jax
+    from generative_audio_tpu.models.nppc_model import UNetModelConfig
     from generative_audio_tpu.train import (
         RestorationTrainConfig, RestorationTrainer)
 
-    print(f"backend={jax.default_backend()}")
+    print(f"backend={jax.default_backend()}, dropout={dropout}, tag={tag!r}")
     t0 = time.time()
     train_pool = put_pool(stage_batches("train", N_TRAIN_POOL, seed=1))
     val_pool = put_pool(stage_batches("val", N_VAL_POOL, seed=2))
     print(f"staged {N_TRAIN_POOL}+{N_VAL_POOL} batches "
           f"in {time.time() - t0:.1f}s")
 
-    cfg = RestorationTrainConfig(num_freqs=128, num_frames=256,
-                                 log_interval=100, save_interval=1000)
-    trainer = RestorationTrainer(cfg, checkpoint_dir=str(REST_CKPT))
+    cfg = RestorationTrainConfig(
+        model=UNetModelConfig(in_channels=1, out_channels=1,
+                              dropout=dropout),
+        num_freqs=128, num_frames=256,
+        log_interval=100, save_interval=1000)
+    trainer = RestorationTrainer(cfg, checkpoint_dir=str(REST_CKPT) + tag)
     t0 = time.time()
     trainer.train(train_pool, n_steps=steps, val_loader=val_pool, log=print)
     dt = time.time() - t0
@@ -187,17 +216,23 @@ def train_restoration(steps: int):
         "seconds": dt,
         "ms_per_step": 1000 * dt / steps,
         "backend": jax.default_backend(),
+        "dropout": dropout,
+        "n_train_sources": len(list((CORPUS / "train").rglob("*.flac"))),
     }
     WORK.mkdir(parents=True, exist_ok=True)
-    (WORK / "restoration_history.json").write_text(
-        json.dumps(history, default=float))
-    print(f"restoration: {steps} steps in {dt:.0f}s "
+    ARTIFACTS.mkdir(parents=True, exist_ok=True)
+    for root in (WORK, ARTIFACTS):
+        (root / f"restoration_history{tag}.json").write_text(
+            json.dumps(history, default=float))
+    print(f"restoration{tag}: {steps} steps in {dt:.0f}s "
           f"({1000 * dt / steps:.0f} ms/step), final val masked-MSE "
-          f"{final_val:.5f}")
+          f"{final_val:.5f} (last-100 train "
+          f"{float(np.mean(trainer.loss_history[-100:])):.5f})")
 
 
 # ------------------------------------------------------------------- nppc --
-def train_nppc(steps: int):
+def train_nppc(steps: int, dropout: float = 0.2, rest_tag: str = "",
+               tag: str = ""):
     import jax
     from generative_audio_tpu.train import (
         RestorationTrainConfig, RestorationTrainer, CheckpointManager)
@@ -208,14 +243,15 @@ def train_nppc(steps: int):
     from generative_audio_tpu.models.pc_wrapper import (
         AudioInpaintingPCWrapperConfig)
 
-    print(f"backend={jax.default_backend()}")
+    print(f"backend={jax.default_backend()}, rest_tag={rest_tag!r}")
     train_pool = put_pool(stage_batches("train", N_TRAIN_POOL, seed=3))
     val_pool = put_pool(stage_batches("val", N_VAL_POOL, seed=4))
 
     # restore the frozen restoration UNet
-    probe = RestorationTrainer(
-        RestorationTrainConfig(num_freqs=128, num_frames=256))
-    restored = CheckpointManager(str(REST_CKPT)).restore(
+    probe = RestorationTrainer(RestorationTrainConfig(
+        model=UNetModelConfig(1, 1, dropout),
+        num_freqs=128, num_frames=256))
+    restored = CheckpointManager(str(REST_CKPT) + rest_tag).restore(
         "latest", {"params": probe.state.params,
                    "batch_stats": probe.state.batch_stats,
                    "opt_state": probe.state.opt_state, "step": 0})
@@ -225,13 +261,13 @@ def train_nppc(steps: int):
 
     cfg = NPPCInpaintingTrainConfig(
         model=InpaintingNPPCConfig(
-            restoration=UNetModelConfig(1, 1, 0.2),
+            restoration=UNetModelConfig(1, 1, dropout),
             pc_wrapper=AudioInpaintingPCWrapperConfig(
                 in_channels=2, out_channels=5, n_dirs=5)),
         num_freqs=128, num_frames=256,
         second_moment_loss_grace=500, log_interval=100, save_interval=1000)
     trainer = NPPCInpaintingTrainer(cfg, restoration_variables=rest_vars,
-                                    checkpoint_dir=str(NPPC_CKPT))
+                                    checkpoint_dir=str(NPPC_CKPT) + tag)
     t0 = time.time()
     trainer.train(train_pool, n_steps=steps, val_loader=val_pool, log=print)
     dt = time.time() - t0
@@ -245,14 +281,19 @@ def train_nppc(steps: int):
         "seconds": dt,
         "ms_per_step": 1000 * dt / steps,
         "backend": jax.default_backend(),
+        "dropout": dropout,
+        "restoration_tag": rest_tag,
     }
-    (WORK / "nppc_history.json").write_text(json.dumps(history, default=float))
-    print(f"nppc: {steps} steps in {dt:.0f}s ({1000 * dt / steps:.0f} "
+    ARTIFACTS.mkdir(parents=True, exist_ok=True)
+    for root in (WORK, ARTIFACTS):
+        (root / f"nppc_history{tag}.json").write_text(
+            json.dumps(history, default=float))
+    print(f"nppc{tag}: {steps} steps in {dt:.0f}s ({1000 * dt / steps:.0f} "
           f"ms/step), final val reconst_err {v_rec:.5f}")
 
 
 # --------------------------------------------------------------- validate --
-def validate(n_samples: int):
+def validate(n_samples: int, dropout: float = 0.2, tag: str = ""):
     import jax
     import jax.numpy as jnp
     from generative_audio_tpu.data import AudioInpaintingDataset
@@ -271,7 +312,7 @@ def validate(n_samples: int):
 
     cfg = NPPCInpaintingTrainConfig(
         model=InpaintingNPPCConfig(
-            restoration=UNetModelConfig(1, 1, 0.2),
+            restoration=UNetModelConfig(1, 1, dropout),
             pc_wrapper=AudioInpaintingPCWrapperConfig(
                 in_channels=2, out_channels=5, n_dirs=5)),
         num_freqs=128, num_frames=256)
@@ -279,7 +320,7 @@ def validate(n_samples: int):
     # partial=True: the checkpoint also carries opt_state (resume support);
     # the validator only consumes params/batch_stats — the artifact-consumer
     # restore path.
-    restored = CheckpointManager(str(NPPC_CKPT)).restore(
+    restored = CheckpointManager(str(NPPC_CKPT) + tag).restore(
         "latest", {"params": trainer.state.params,
                    "batch_stats": trainer.state.batch_stats,
                    "step": 0}, partial=True)
@@ -350,11 +391,41 @@ def validate(n_samples: int):
 
 
 # ----------------------------------------------------------------- report --
-def report():
+def _history(name):
+    """Run histories live in WORK (wiped between rounds) and are copied
+    to ARTIFACTS (committed); read whichever exists."""
+    for root in (WORK, ARTIFACTS):
+        p = root / name
+        if p.exists():
+            return json.loads(p.read_text())
+    return None
+
+
+def _overfit_rows():
+    """One row per restoration run history found (baseline + arms)."""
+    names = sorted({p.name for root in (WORK, ARTIFACTS)
+                    for p in root.glob("restoration_history*.json")})
+    # the round-3 9000-step run's history lived in the (wiped) work dir;
+    # its numbers survive in the committed round-3 REPORT training table
+    rows = ["| r3 9000-step (REPORT r3 table) | 3x corpus | 0.2 | 0.0740 "
+            "| 1.3126 | 17.7x |"]
+    for name in names:
+        h = _history(name)
+        arm = name[len("restoration_history"):-len(".json")] or "r3 baseline"
+        tr = float(np.mean(h["train_loss"][-100:]))
+        va = float(h["final_val_loss"])
+        rows.append(
+            f"| {arm.lstrip('_')} | {h.get('n_train_sources', 'n/a')} | "
+            f"{h.get('dropout', 0.2):g} | {tr:.4f} | {va:.4f} | "
+            f"{va / max(tr, 1e-9):.1f}x |")
+    return rows
+
+
+def report(tag: str = ""):
     from generative_audio_tpu.utils.report import HTMLReport
 
-    rest = json.loads((WORK / "restoration_history.json").read_text())
-    nppc = json.loads((WORK / "nppc_history.json").read_text())
+    rest = _history(f"restoration_history{tag}.json")
+    nppc = _history(f"nppc_history{tag}.json")
     summary = json.loads(
         (ARTIFACTS / "validation" / "summary.json").read_text())
 
@@ -411,6 +482,20 @@ def report():
         f"{np.mean(nppc['reconst_err'][-100:]):.4f} | "
         f"{nppc['final_val_reconst_err']:.4f} |",
         "",
+        "## Restoration overfit attack (round 4, VERDICT r3 item 4)",
+        "",
+        "The round-3 restoration overfit 17x train-to-val (0.0740 vs "
+        "1.3126) on the 3x-speed corpus at the reference's canonical "
+        "dropout 0.2. Round-4 arms apply the corpus levers measured on "
+        "the enhancement line — wide 5x speed perturbation + image-source "
+        "RIR reverb copies (`corpus --augmented`, 10x sources) — and "
+        "sweep UNet dropout:",
+        "",
+        "| arm | corpus sources | dropout | last-100 train | final val | "
+        "val/train |",
+        "|---|---|---|---|---|---|",
+        *_overfit_rows(),
+        "",
         "## Validation (held-out files, NPPC vs MC-dropout+PCA)",
         "",
         "| sample | NPPC residual | MC residual | NPPC rmse | MC rmse | "
@@ -439,17 +524,28 @@ def main():
         "corpus", "train-restoration", "train-nppc", "validate", "report"])
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--samples", type=int, default=6)
+    parser.add_argument("--augmented", action="store_true",
+                        help="corpus: wide speed perturbation + RIR "
+                        "reverb copies (round-4 overfit levers)")
+    parser.add_argument("--dropout", type=float, default=0.2,
+                        help="UNet dropout (reference canonical 0.2)")
+    parser.add_argument("--tag", default="",
+                        help="suffix for ckpt dir + history json")
+    parser.add_argument("--rest_tag", default="",
+                        help="train-nppc: tag of the restoration ckpt")
     args = parser.parse_args()
     if args.stage == "corpus":
-        build_corpus()
+        build_corpus(augmented=args.augmented)
     elif args.stage == "train-restoration":
-        train_restoration(args.steps or 3000)
+        train_restoration(args.steps or 3000, dropout=args.dropout,
+                          tag=args.tag)
     elif args.stage == "train-nppc":
-        train_nppc(args.steps or 2000)
+        train_nppc(args.steps or 2000, dropout=args.dropout,
+                   rest_tag=args.rest_tag, tag=args.tag)
     elif args.stage == "validate":
-        validate(args.samples)
+        validate(args.samples, dropout=args.dropout, tag=args.tag)
     elif args.stage == "report":
-        report()
+        report(tag=args.tag)
 
 
 if __name__ == "__main__":
