@@ -391,25 +391,46 @@ class Inferencer:
             er, ei = apply_crm(crm, real, imag)
             return self._istft(er, ei, wav.shape[-1])
 
-        # Depth-2 pipeline: jax dispatch is async, so device_put of the
-        # next batch and the jit call overlap the previous batch's compute;
-        # only the deferred np.asarray fetch blocks. On the tunnel backend
-        # host->device transfer costs ~10 ms/MB — serializing it per batch
-        # (the naive loop) leaves the chip idle for exactly that long.
-        from collections import deque
+        # Two-layer overlap (round 4, decomposition in
+        # artifacts/perf/serving_decompose.txt):
+        #  1. jax dispatch is async, so device_put of the next batch and
+        #     the jit call overlap the previous batch's compute; on the
+        #     tunnel backend host->device transfer costs ~10 ms/MB —
+        #     serializing it per batch leaves the chip idle that long.
+        #  2. the blocking D2H fetch (np.asarray) + int16 convert + disk
+        #     writes run on a dedicated writer thread (the GIL is released
+        #     during the fetch and file IO), so the main thread's
+        #     prep + H2D + dispatch of batch N+1 overlaps the fetch+write
+        #     of batch N instead of serializing with it.
+        import queue as _queue
+        import threading
 
         done = 0
         total_audio_s = 0.0
-        inflight: deque = deque()
+        fetch_q: _queue.Queue = _queue.Queue(maxsize=2)
+        writer_err = []
 
-        def _drain():
+        def _writer():
             nonlocal done
-            chunk, out_ref = inflight.popleft()
-            out = np.asarray(out_ref)        # blocks until THIS batch done
-            for j, (noisy, name) in enumerate(chunk):
-                self._write_enhanced(output_dir, name, out[j, :len(noisy)])
-            done += len(chunk)
-            log(f"[{done}/{len(dataset)}] batch of {len(chunk)}")
+            while True:
+                item = fetch_q.get()
+                if item is None:
+                    return
+                if writer_err:
+                    continue            # drain without processing
+                chunk, out_ref = item
+                try:
+                    out = np.asarray(out_ref)   # blocks until batch done
+                    for j, (noisy, name) in enumerate(chunk):
+                        self._write_enhanced(output_dir, name,
+                                             out[j, :len(noisy)])
+                    done += len(chunk)
+                    log(f"[{done}/{len(dataset)}] batch of {len(chunk)}")
+                except Exception as e:          # surfaced after join
+                    writer_err.append(e)
+
+        writer = threading.Thread(target=_writer, daemon=True)
+        writer.start()
 
         def _warm_batch_size(padded_len: int) -> int:
             """Largest batch (halving from batch_size) whose program warms
@@ -455,13 +476,15 @@ class Inferencer:
                 key = ("dir_batch", padded_len, bs)
                 out_ref = self._compiled[key](self.variables,
                                               jax.device_put(wavs))
-                inflight.append((chunk, out_ref))
+                # blocks only when 2 batches are already queued behind
+                # the writer (bounds device-resident outputs)
+                fetch_q.put((chunk, out_ref))
                 total_audio_s += sum(len(n) for n, _ in chunk) \
                     / self.config.sr
-                while len(inflight) >= 2:
-                    _drain()
-        while inflight:
-            _drain()
+        fetch_q.put(None)
+        writer.join()
+        if writer_err:
+            raise writer_err[0]
         # aggregate serving RTF (batches overlap, so per-batch timing is
         # meaningless): wall seconds per second of audio served
         self.last_rtf = ((time.perf_counter() - t_serve0)

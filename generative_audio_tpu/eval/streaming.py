@@ -31,6 +31,15 @@ tests/test_eval.py::test_streaming_matches_offline_overlapped_chunk).
 Batched streams match the single-stream path per row up to the compiled
 program's batch-reduction order (exactly, for elementwise models).
 
+Pipelining (`async_depth=d`, round 4): feed() dispatches ready chunks
+without blocking and returns whichever results have already landed, so
+the device computes and the tunnel round-trips UNDER the caller's
+pacing instead of stalling every hop-crossing feed() (the round-3 K=16
+p50 was 83 ms/feed, almost all of it blocked on the fetch). Output
+values are unchanged — only the feed() call on which a span is returned
+shifts, bounded by d chunks; flush() drains everything. Measured
+decomposition + before/after: artifacts/perf/streaming_latency.txt.
+
 Latency/TPU notes:
   * Algorithmic latency: a chunk starting at sample `s` finalizes output
     [s, s+hop) once input through s+chunk_length has arrived, so an output
@@ -68,7 +77,8 @@ class StreamingEnhancer:
     instance resets and can stream again.
     """
 
-    def __init__(self, inferencer: Inferencer, n_streams: int = 1):
+    def __init__(self, inferencer: Inferencer, n_streams: int = 1,
+                 async_depth: int = 0):
         self._inf = inferencer
         c = inferencer.config
         self.n_streams = n_streams
@@ -77,6 +87,16 @@ class StreamingEnhancer:
         self._win = np.asarray(hann_window(self.chunk_length))
         self._model = inferencer._chunk_program()
         self.last_rtf: Optional[float] = None   # of the last flushed stream
+        # async_depth=0: each ready chunk is dispatched AND fetched inside
+        # feed() (the round-3 behaviour — feed blocks on the device round
+        # trip). async_depth=d>0: up to d chunks stay in flight; feed()
+        # dispatches without blocking and finalizes chunks whose results
+        # are already on the host (jax async dispatch overlaps the device
+        # compute + tunnel round trip with the caller's next feeds). Output
+        # is bit-identical in both modes, only the feed() call on which a
+        # given span is RETURNED shifts (bounded by d chunks; flush()
+        # drains everything).
+        self.async_depth = int(async_depth)
         self.reset()
 
     # ------------------------------------------------------------- state --
@@ -85,10 +105,16 @@ class StreamingEnhancer:
         self._buf = np.zeros((k, 0), np.float32)  # raw from _buf_start
         self._buf_start = 0                   # absolute index of _buf[:, 0]
         self._total = 0                       # samples received per stream
-        self._chunk_idx = 0                   # next chunk to process
+        self._chunk_idx = 0                   # next chunk to DISPATCH
         self._emitted = 0                     # finalized samples emitted
         self._prev: Optional[np.ndarray] = None   # carried windowed tail
         self._compute_seconds = 0.0
+        self._inflight = []                   # [(chunk_idx, device ref)]
+        self._finalized = 0                   # chunks finalized so far
+        # decomposition counters (perf_streaming.py reads these)
+        self.t_dispatch = 0.0   # host prep + async dispatch call
+        self.t_fetch = 0.0      # blocked on the device result (np.asarray)
+        self.t_crossfade = 0.0  # host window/crossfade arithmetic
 
     @property
     def latency_samples(self) -> int:
@@ -106,10 +132,10 @@ class StreamingEnhancer:
         return self._compute_seconds / (self._emitted / self._inf.config.sr)
 
     # ----------------------------------------------------------- chunks --
-    def _run_chunk(self) -> np.ndarray:
-        """Process chunk `self._chunk_idx` exactly as the offline loop does
-        (ref :205-245 arithmetic) and return its finalized [K, hop]
-        samples."""
+    def _dispatch_chunk(self) -> None:
+        """Dispatch chunk `self._chunk_idx` to the device (async — jax
+        returns a future-like array immediately) and retire the raw input
+        samples it consumed."""
         k = self.n_streams
         start = self._chunk_idx * self.hop
         rel = start - self._buf_start
@@ -122,12 +148,33 @@ class StreamingEnhancer:
         else:
             pad = self._buf[:, rel - _PRE_ROLL:rel]
         t0 = time.time()
-        enhanced = np.asarray(
-            self._model(self._inf.variables,
-                        np.concatenate([pad, seg], axis=-1)))
-        self._compute_seconds += time.time() - t0
+        ref = self._model(self._inf.variables,
+                          np.concatenate([pad, seg], axis=-1))
+        dt = time.time() - t0
+        self._compute_seconds += dt   # dispatch share
+        self.t_dispatch += dt
+        self._inflight.append((self._chunk_idx, ref))
+        self._chunk_idx += 1
+        # drop raw samples no longer needed: the next chunk reads from
+        # (next_start - pre_roll)
+        keep_from = self._chunk_idx * self.hop - _PRE_ROLL - self._buf_start
+        if keep_from > 0:
+            self._buf = self._buf[:, keep_from:]
+            self._buf_start += keep_from
+
+    def _finalize_head(self) -> np.ndarray:
+        """Fetch the oldest in-flight chunk (blocking) and apply the
+        crossfade arithmetic exactly as the offline loop does
+        (ref :205-245); returns its finalized [K, hop] samples."""
+        idx, ref = self._inflight.pop(0)
+        assert idx == self._finalized, (idx, self._finalized)
+        t0 = time.time()
+        enhanced = np.asarray(ref)      # blocks until THIS chunk is done
+        t1 = time.time()
+        self._compute_seconds += t1 - t0
+        self.t_fetch += t1 - t0
         enhanced = enhanced[:, _PRE_ROLL:]
-        if self._chunk_idx == 0:
+        if idx == 0:
             cur = enhanced[:, :self.hop]
             self._prev = enhanced[:, self.hop:] * self._win[self.hop:]
         else:
@@ -136,14 +183,29 @@ class StreamingEnhancer:
             m = min(tmp.shape[-1], self._prev.shape[-1])
             cur = tmp[:, :m] + self._prev[:, :m]
             self._prev = enhanced[:, self.hop:]
-        self._chunk_idx += 1
-        # drop raw samples no longer needed: the next chunk reads from
-        # (next_start - pre_roll)
-        keep_from = self._chunk_idx * self.hop - _PRE_ROLL - self._buf_start
-        if keep_from > 0:
-            self._buf = self._buf[:, keep_from:]
-            self._buf_start += keep_from
+        self.t_crossfade += time.time() - t1
+        self._finalized += 1
         return cur
+
+    @staticmethod
+    def _head_ready(ref) -> bool:
+        """Best-effort non-blocking readiness probe; scheduling-only (a
+        wrong answer changes WHEN a chunk is collected, never its value)."""
+        try:
+            return bool(ref.is_ready())
+        except Exception:
+            return True
+
+    def _collect(self, drain: bool) -> list:
+        """Finalize in-flight chunks: always down to async_depth, plus any
+        head whose result already arrived; everything when draining."""
+        out = []
+        while self._inflight:
+            if not (drain or len(self._inflight) > self.async_depth
+                    or self._head_ready(self._inflight[0][1])):
+                break
+            out.append(self._finalize_head())
+        return out
 
     def _shape_in(self, samples: np.ndarray) -> np.ndarray:
         samples = np.asarray(samples, np.float32)
@@ -165,15 +227,18 @@ class StreamingEnhancer:
     def feed(self, samples: np.ndarray) -> np.ndarray:
         """Push raw samples ([n], or [K, n] for K streams); returns
         newly-finalized enhanced samples (possibly empty, same leading
-        shape). Output sample i is finalized once input sample
-        i + chunk_length has been fed."""
+        shape). With async_depth=0, output sample i is returned by the
+        feed() that supplies input sample i + chunk_length; with
+        async_depth=d, its chunk is dispatched on that feed but may be
+        returned up to d chunks later (whenever its result has landed) —
+        the values are identical either way."""
         samples = self._shape_in(samples)
         self._buf = np.concatenate([self._buf, samples], axis=-1)
         self._total += samples.shape[-1]
-        out = []
         # a chunk is ready when its full window is available
         while self._chunk_idx * self.hop + self.chunk_length <= self._total:
-            out.append(self._run_chunk())
+            self._dispatch_chunk()
+        out = self._collect(drain=self.async_depth == 0)
         done = (np.concatenate(out, axis=-1) if out
                 else np.zeros((self.n_streams, 0), np.float32))
         self._emitted += done.shape[-1]
@@ -193,9 +258,9 @@ class StreamingEnhancer:
             self.reset()
             return self._shape_out(out)
         num_chunks = int(self._total / self.hop) + 1
-        out = []
         while self._chunk_idx < num_chunks:
-            out.append(self._run_chunk())
+            self._dispatch_chunk()
+        out = self._collect(drain=True)
         done = (np.concatenate(out, axis=-1) if out
                 else np.zeros((self.n_streams, 0), np.float32))
         done = done[:, : self._total - self._emitted]

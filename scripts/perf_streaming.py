@@ -48,31 +48,42 @@ def main():
     length = SR * SECONDS
     for k in STREAMS:
         wavs = rng.standard_normal((k, length)).astype(np.float32) * 0.05
-        stream = StreamingEnhancer(inf, n_streams=k)
-        # warm pass: compile the [k, chunk+pre_roll] program
-        stream.feed(wavs[:, : SR + 256 + 1])
-        stream.flush()
-        t0 = time.perf_counter()
-        got = 0
-        finalize_ms = []       # feed() calls that completed >=1 chunk and
-        buffer_ms = []         # pure buffer-append feeds (no device work)
-        for pos in range(0, length, FEED):
-            f0 = time.perf_counter()
-            out = stream.feed(wavs[:, pos:pos + FEED])
-            dt = (time.perf_counter() - f0) * 1e3
-            (finalize_ms if np.shape(out)[-1] > 0 else buffer_ms).append(dt)
-            got += np.shape(out)[-1]
-        got += np.shape(stream.flush())[-1]
-        wall = time.perf_counter() - t0
-        assert got == length, (got, length)
-        agg = k * SECONDS / wall
-        p50, p95 = np.percentile(finalize_ms, [50, 95])
-        print(f"K={k:3d} x {SECONDS} s, {FEED / SR * 1000:.0f} ms feeds: "
-              f"{wall:6.2f} s wall, aggregate {agg:7.1f}x realtime "
-              f"({agg / k:6.1f}x per stream); feed-to-finalized "
-              f"p50 {p50:6.1f} ms / p95 {p95:6.1f} ms "
-              f"(buffer-only feeds p50 "
-              f"{np.percentile(buffer_ms, 50):5.2f} ms)", flush=True)
+        for depth in (0, 2):
+            stream = StreamingEnhancer(inf, n_streams=k, async_depth=depth)
+            # warm pass: compile the [k, chunk+pre_roll] program
+            stream.feed(wavs[:, : SR + 256 + 1])
+            stream.flush()
+            t0 = time.perf_counter()
+            got = 0
+            finalize_ms = []   # feed() calls that completed >=1 chunk and
+            buffer_ms = []     # pure buffer-append feeds (no device work)
+            stream.t_dispatch = stream.t_fetch = stream.t_crossfade = 0.0
+            for pos in range(0, length, FEED):
+                f0 = time.perf_counter()
+                out = stream.feed(wavs[:, pos:pos + FEED])
+                dt = (time.perf_counter() - f0) * 1e3
+                (finalize_ms if np.shape(out)[-1] > 0
+                 else buffer_ms).append(dt)
+                got += np.shape(out)[-1]
+            td, tf, tc = (stream.t_dispatch, stream.t_fetch,
+                          stream.t_crossfade)
+            n_chunks = max(stream._finalized, 1)
+            got += np.shape(stream.flush())[-1]
+            wall = time.perf_counter() - t0
+            assert got == length, (got, length)
+            agg = k * SECONDS / wall
+            p50, p95 = np.percentile(finalize_ms, [50, 95])
+            print(f"K={k:3d} d={depth} x {SECONDS} s, "
+                  f"{FEED / SR * 1000:.0f} ms feeds: "
+                  f"{wall:6.2f} s wall, aggregate {agg:7.1f}x realtime "
+                  f"({agg / k:6.1f}x per stream); feed-to-finalized "
+                  f"p50 {p50:6.1f} ms / p95 {p95:6.1f} ms "
+                  f"(buffer-only p50 "
+                  f"{np.percentile(buffer_ms, 50):5.2f} ms); "
+                  f"per-chunk decomposition (pre-flush): "
+                  f"dispatch {1e3 * td / n_chunks:5.1f} ms, "
+                  f"blocked-fetch {1e3 * tf / n_chunks:5.1f} ms, "
+                  f"crossfade {1e3 * tc / n_chunks:5.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -376,6 +376,42 @@ def test_streaming_matches_offline_overlapped_chunk(rng):
     np.testing.assert_array_equal(p2, offline)
 
 
+def test_streaming_async_depth_is_bit_identical(rng):
+    """async_depth>0 pipelines dispatch/fetch but must produce the same
+    bytes as the offline mode and the synchronous stream, for arbitrary
+    piecewise feeds; only WHEN spans are returned may shift (bounded by
+    async_depth chunks, drained at flush)."""
+    from generative_audio_tpu.eval.streaming import StreamingEnhancer
+
+    noisy = rng.standard_normal(52123).astype(np.float32) * 0.1
+
+    def passthrough(variables, wav):
+        return wav * 0.5
+
+    inf = Inferencer(passthrough, variables={},
+                     config=InferencerConfig(chunk_length_seconds=1))
+    offline = inf.overlapped_chunk(noisy)
+
+    for depth in (1, 3):
+        stream = StreamingEnhancer(inf, async_depth=depth)
+        pieces, pos = [], 0
+        piece_rng = np.random.default_rng(3)
+        while pos < len(noisy):
+            n = int(piece_rng.integers(1, 9000))
+            pieces.append(stream.feed(noisy[pos:pos + n]))
+            pos += n
+        pieces.append(stream.flush())
+        streamed = np.concatenate(pieces)
+        np.testing.assert_array_equal(streamed, offline)
+        # multi-stream rows keep the guarantee too
+        k_stream = StreamingEnhancer(inf, n_streams=2, async_depth=depth)
+        two = np.stack([noisy, noisy * 0.7])
+        outs = [k_stream.feed(two[:, :17000]),
+                k_stream.feed(two[:, 17000:]), k_stream.flush()]
+        got = np.concatenate(outs, axis=-1)
+        np.testing.assert_array_equal(got[0], offline)
+
+
 def test_streaming_spectral_model_and_latency(rng):
     """The spectral (FullSubNet-style) chunk wrapper streams too, and no
     output is finalized before chunk_length samples have been fed."""
