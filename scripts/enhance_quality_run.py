@@ -766,10 +766,10 @@ def report():
             lines += [
                 f"| reverb SI-SDR | "
                 f"{cb['noisy_baseline_reverb']['SI_SDR']:.2f} | "
-                f"{cbr['SI_SDR']:.2f} | 5.11 |",
+                f"{cbr['SI_SDR']:.2f} | 12.27 |",
                 f"| reverb STOI | "
                 f"{cb['noisy_baseline_reverb']['STOI']:.4f} | "
-                f"{cbr['STOI']:.4f} | 0.6880 |",
+                f"{cbr['STOI']:.4f} | 0.5069 |",
             ]
         lines += ["", cb.get("report_verdict", "")]
         nc_path = ARTIFACTS / "training_summary_cbnc.json"
