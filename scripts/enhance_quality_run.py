@@ -795,6 +795,18 @@ def report():
                 f"| {nc['best_composite']:.4f} | "
                 f"{ncf['SI_SDR']:.2f} | {ncf['STOI']:.4f} | "
                 f"{nch['SI_SDR']:.2f} | {nch['STOI']:.4f} |",
+            ]
+            mid = nc.get("mid_run_best_step4800")
+            if mid:
+                mf, mh = (mid["final_best_model"],
+                          mid["final_best_model_hard"])
+                lines += [
+                    f"| + near-clean, mid-run best (step 4800) "
+                    f"| {mf['composite']:.4f} | "
+                    f"{mf['SI_SDR']:.2f} | {mf['STOI']:.4f} | "
+                    f"{mh['SI_SDR']:.2f} | {mh['STOI']:.4f} |",
+                ]
+            lines += [
                 "",
                 nc.get("report_verdict", ""),
             ]

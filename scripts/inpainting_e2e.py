@@ -514,6 +514,11 @@ def report(tag: str = ""):
         f"Mean residual error: NPPC {nppc_res:.4f} vs MC-dropout "
         f"{mc_res:.4f} ({'NPPC <= MC' if nppc_res <= mc_res else 'MC < NPPC'}).",
     ]
+    # standing sections maintained as standalone artifacts (the
+    # pesq_family_audit.md pattern) so a re-render never drops them
+    vad_md = ARTIFACTS / "vad_ab_section.md"
+    if vad_md.exists():
+        lines += ["", vad_md.read_text().rstrip()]
     (ARTIFACTS / "REPORT.md").write_text("\n".join(lines) + "\n")
     print((ARTIFACTS / "REPORT.md").read_text())
 
