@@ -309,7 +309,20 @@ class EnhanceTrainer:
         return means
 
     def train(self, loader, epochs: int, val_dataset=None,
-              validation_interval: int = 1, log=print):
+              validation_interval: int = 1, log=print,
+              probe_dataset=None, probe_weight: float = 0.0):
+        """Epoch loop with periodic validation and best-model selection.
+
+        Default selection is the reference's in-distribution composite
+        (base_trainer.py:296-303). `probe_dataset`/`probe_weight` opt into
+        probe-inclusive selection: score = (1-w)*val + w*probe composite.
+        Motivation is measured, not hypothetical: the round-4 near-clean
+        A/B (artifacts/enhance_quality/REPORT.md) showed in-distribution
+        selection walking past a checkpoint whose unseen-noise robustness
+        was within 0.005 STOI of passthrough, trading it for +0.008
+        composite — a deployment that values robustness needs the probe
+        in the criterion, not just in the report.
+        """
         for epoch in range(1, epochs + 1):
             avg = self.train_epoch(loader, log=log)
             log(f"[Train] Epoch {epoch}, Loss {avg:.5f}")
@@ -324,6 +337,13 @@ class EnhanceTrainer:
                 self.ckpt.save_step(tree, step)
             if val_dataset is not None and epoch % validation_interval == 0:
                 scores = self.validate(val_dataset)
+                select = scores["composite"]
+                if probe_dataset is not None and probe_weight > 0.0:
+                    probe = self.validate(probe_dataset)
+                    select = ((1.0 - probe_weight) * scores["composite"]
+                              + probe_weight * probe["composite"])
+                    scores["probe_composite"] = probe["composite"]
+                    scores["selection"] = select
                 log(f"[Validate] Epoch {epoch}: {scores}")
                 self.val_history.append(
                     (step, scores.get("composite") or 0.0))
@@ -331,10 +351,10 @@ class EnhanceTrainer:
                     self.tracker.log(
                         {k: v for k, v in scores.items() if v is not None},
                         step=step)
-                if self.ckpt and scores["composite"] > self.best_score:
-                    self.best_score = scores["composite"]
+                if self.ckpt and select > self.best_score:
+                    self.best_score = select
                     self.ckpt.save_best({"params": self.state.params},
-                                        scores["composite"], step)
+                                        select, step)
                     # re-save latest with the UPDATED best_score (ref
                     # base_trainer.py:315-340) — otherwise a resume from a
                     # run that ended here restores the stale pre-validation

@@ -331,7 +331,7 @@ def stage_mixture_pool(n_batches: int, batch: int = 18, seed: int = 1,
 
 def train(epochs: int, tag: str = "", pool: int = 200,
           pool_seed: int = 1, reverb: bool = False,
-          snr_max: float = 20.0):
+          snr_max: float = 20.0, probe_weight: float = 0.0):
     import jax
     from generative_audio_tpu.train import EnhanceTrainConfig, EnhanceTrainer
     from generative_audio_tpu.utils.tracking import ExperimentTracker
@@ -359,7 +359,9 @@ def train(epochs: int, tag: str = "", pool: int = 200,
 
     t0 = time.time()
     trainer.train(loader, epochs=epochs, val_dataset=val_ds,
-                  validation_interval=4, log=print)
+                  validation_interval=4, log=print,
+                  probe_dataset=val_hard_ds if probe_weight > 0 else None,
+                  probe_weight=probe_weight)
     dt = time.time() - t0
     steps = int(trainer.state.step)
     # throughput over THIS segment only: dt covers this invocation, so
@@ -420,6 +422,7 @@ def train(epochs: int, tag: str = "", pool: int = 200,
         "n_noise_types": len(list((ROOT / "train" / "noise").glob("*.wav"))),
         "reverb_train": reverb,
         "snr_max": snr_max,
+        "probe_weight": probe_weight,
     }
     if final_reverb is not None:
         summary["final_best_model_reverb"] = final_reverb
@@ -917,6 +920,10 @@ def main():
     parser.add_argument("--snr_max", type=float, default=20.0,
                         help="train: top of the mixing SNR range; 40 adds "
                         "near-clean pairs so the model learns passthrough")
+    parser.add_argument("--probe_weight", type=float, default=0.0,
+                        help="train: weight of the unseen-noise probe in "
+                        "best-model selection (0 = reference in-"
+                        "distribution composite)")
     args = parser.parse_args()
     if args.stage == "corpus":
         build_corpus()
@@ -932,7 +939,7 @@ def main():
     elif args.stage == "train":
         train(args.epochs, args.tag, pool=args.pool,
               pool_seed=args.pool_seed, reverb=args.reverb,
-              snr_max=args.snr_max)
+              snr_max=args.snr_max, probe_weight=args.probe_weight)
     elif args.stage == "finetune":
         finetune(args.epochs, lr=args.lr,
                  base_tag=args.base_tag,

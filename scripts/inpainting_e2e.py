@@ -204,8 +204,13 @@ def train_restoration(steps: int, dropout: float = 0.2, tag: str = ""):
         num_freqs=128, num_frames=256,
         log_interval=100, save_interval=1000)
     trainer = RestorationTrainer(cfg, checkpoint_dir=str(REST_CKPT) + tag)
+    start = 0
+    if trainer.restore_latest():
+        start = int(trainer.state.step)
+        print(f"resumed from step {start} (outage-tolerant restart)")
+    seg = max(steps - start, 0)
     t0 = time.time()
-    trainer.train(train_pool, n_steps=steps, val_loader=val_pool, log=print)
+    trainer.train(train_pool, n_steps=seg, val_loader=val_pool, log=print)
     dt = time.time() - t0
     final_val = trainer.validate(val_pool)
     history = {
@@ -213,8 +218,9 @@ def train_restoration(steps: int, dropout: float = 0.2, tag: str = ""):
         "val_loss": trainer.val_loss_history,
         "final_val_loss": final_val,
         "steps": steps,
+        "resumed_from": start,
         "seconds": dt,
-        "ms_per_step": 1000 * dt / steps,
+        "ms_per_step": 1000 * dt / max(seg, 1),
         "backend": jax.default_backend(),
         "dropout": dropout,
         "n_train_sources": len(list((CORPUS / "train").rglob("*.flac"))),
@@ -268,8 +274,13 @@ def train_nppc(steps: int, dropout: float = 0.2, rest_tag: str = "",
         second_moment_loss_grace=500, log_interval=100, save_interval=1000)
     trainer = NPPCInpaintingTrainer(cfg, restoration_variables=rest_vars,
                                     checkpoint_dir=str(NPPC_CKPT) + tag)
+    start = 0
+    if trainer.restore_latest():
+        start = int(trainer.state.step)
+        print(f"resumed from step {start} (outage-tolerant restart)")
+    seg = max(steps - start, 0)
     t0 = time.time()
-    trainer.train(train_pool, n_steps=steps, val_loader=val_pool, log=print)
+    trainer.train(train_pool, n_steps=seg, val_loader=val_pool, log=print)
     dt = time.time() - t0
     v_obj, v_rec = trainer.validate(val_pool)
     history = {
@@ -278,8 +289,9 @@ def train_nppc(steps: int, dropout: float = 0.2, rest_tag: str = "",
         "final_val_objective": v_obj,
         "final_val_reconst_err": v_rec,
         "steps": steps,
+        "resumed_from": start,
         "seconds": dt,
-        "ms_per_step": 1000 * dt / steps,
+        "ms_per_step": 1000 * dt / max(seg, 1),
         "backend": jax.default_backend(),
         "dropout": dropout,
         "restoration_tag": rest_tag,

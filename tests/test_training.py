@@ -57,6 +57,46 @@ def test_enhance_trainer_epochs_and_checkpoint(tmp_path, rng):
     assert "data:image/png;base64," in report
 
 
+def test_enhance_probe_inclusive_selection(tmp_path, rng):
+    """Opt-in probe-inclusive best-model selection: with probe_weight the
+    criterion is (1-w)*val + w*probe composite, so a checkpoint that wins
+    in-distribution but regresses the robustness probe loses selection —
+    the policy lever the round-4 near-clean A/B motivated (default stays
+    the reference's in-distribution composite, base_trainer.py:296-303)."""
+    import json
+
+    clean = rng.standard_normal((4, 2048)).astype(np.float32)
+    noisy = clean + 0.3 * rng.standard_normal((4, 2048)).astype(np.float32)
+    loader = [(noisy, clean)]
+    # scripted (val, probe) composites: epoch 1 robust, epoch 2 wins
+    # in-distribution only
+    script = {"val": [0.50, 0.60], "probe": [0.90, 0.20]}
+
+    def run(probe_weight):
+        cfg = _enhance_cfg()
+        d = tmp_path / f"ckpt_w{probe_weight}"
+        trainer = T.EnhanceTrainer(cfg, checkpoint_dir=d)
+        calls = {"n": 0}
+
+        def fake_validate(dataset, max_items=10):
+            kind = "val" if dataset == "VAL" else "probe"
+            idx = calls["n"] // (2 if probe_weight else 1)
+            calls["n"] += 1
+            return {"composite": script[kind][min(idx, 1)]}
+
+        trainer.validate = fake_validate
+        trainer.train(loader, epochs=2, val_dataset="VAL",
+                      probe_dataset="PROBE" if probe_weight else None,
+                      probe_weight=probe_weight, log=lambda *a: None)
+        return json.loads((d / "best_score.json").read_text())
+
+    default = run(0.0)
+    assert default["step"] == 2          # in-distribution pick: epoch 2
+    blended = run(0.5)
+    assert blended["step"] == 1          # probe-inclusive pick: epoch 1
+    assert blended["score"] == pytest.approx(0.5 * 0.50 + 0.5 * 0.90)
+
+
 def _inpaint_batch(rng, b=2, f=32, t=64):
     clean_spec = rng.standard_normal((b, 2, f, t)).astype(np.float32)
     mask = np.ones((b, t), np.float32)
