@@ -74,6 +74,7 @@ class RestorationTrainer:
         self._eval_fn = jax.jit(self._eval_step)
         self.loss_history = []
         self.val_loss_history = []
+        self.best_val = float("inf")
 
     # ------------------------------------------------------------ steps ----
     def _loss(self, params, batch_stats, dropout_rng, batch, train: bool):
@@ -125,6 +126,17 @@ class RestorationTrainer:
                     val = self.validate(val_loader)
                     self.val_loss_history.append((step, val))
                     msg += f" val_loss={val:.5f}"
+                    # keep the val-minimum checkpoint: masked-MSE val on
+                    # this line is noisy across checkpoints (round-4 sweep:
+                    # d0.4 dipped to 1.26 mid-run, ended 1.37), and the
+                    # NPPC head should wrap the best restoration, not the
+                    # final snapshot
+                    if self.ckpt and val < self.best_val:
+                        self.best_val = val
+                        self.ckpt.save_best(
+                            {"params": self.state.params,
+                             "batch_stats": self.state.batch_stats},
+                            val, step)
                 log(msg)
             if self.ckpt and step % self.config.save_interval == 0:
                 self._save(step)
@@ -167,4 +179,9 @@ class RestorationTrainer:
         if new_state is None:
             return False
         self.state = new_state
+        # carry the recorded val minimum across restarts so a resumed run
+        # cannot overwrite best/ with a worse checkpoint
+        prev_best = self.ckpt.best_score() if self.ckpt else None
+        if prev_best is not None:
+            self.best_val = float(prev_best)
         return True

@@ -178,6 +178,16 @@ def bench():
     rng = np.random.default_rng(0)
     gx, h, c, gout, whh = make_inputs(T, B, H, BLOCK_B, rng)
 
+    # on-chip identity gate before any timing: a miscompiled variant must
+    # not be allowed to "win"
+    ref = np.asarray(_lstm_pallas_call_bwd(gx, h, c, gout, whh,
+                                           block_b=BLOCK_B)[:2, :4, :8])
+    for n in (2, 4):
+        got = np.asarray(chains_bwd(gx, h, c, gout, whh, block_b=BLOCK_B,
+                                    n_chains=n)[:2, :4, :8])
+        assert np.array_equal(ref, got), f"chains{n} output mismatch"
+    print("on-chip identity spot-check OK")
+
     floor_fn = jax.jit(lambda x: x * 2 + 1)
     floor_in = jnp.ones((8, 8))
 

@@ -111,12 +111,20 @@ def test_restoration_trainer(tmp_path, rng):
         num_freqs=32, num_frames=64, log_interval=2, save_interval=100)
     trainer = T.RestorationTrainer(cfg, checkpoint_dir=tmp_path / "r")
     batch = _inpaint_batch(rng)
-    losses = trainer.train([batch] * 3, n_steps=6, log=lambda *a: None)
+    losses = trainer.train([batch] * 3, n_steps=6, val_loader=[batch],
+                           log=lambda *a: None)
     assert len(losses) == 6
     assert losses[-1] < losses[0] * 1.5  # moving; UNet smoke not strict
+    # val-minimum checkpoint: best/ saved with the recorded minimum, and a
+    # restart seeds best_val from it so a worse resume can't overwrite it
+    assert (tmp_path / "r" / "best").exists()
+    assert trainer.best_val == min(v for _, v in trainer.val_loss_history)
+    assert trainer.ckpt.best_score() == pytest.approx(trainer.best_val)
     # checkpoint roundtrip
+    best_before = trainer.best_val
     assert trainer.restore_latest()
     assert int(trainer.state.step) == 6
+    assert trainer.best_val == pytest.approx(best_before)
 
 
 def test_nppc_inpainting_trainer_freezes_restoration(rng):
