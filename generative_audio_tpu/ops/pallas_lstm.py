@@ -380,7 +380,12 @@ def _round_up(x: int, m: int) -> int:
 # Backward: one paired run showed -13%/-21% (chains 2/4), the repeat showed
 # 0% — inside the shared-chip variance band, expected value ~1-2 ms on a
 # ~63 ms net train step. Not worth the kernel complexity until a quieter
-# chip can confirm it. (A 2-blocks-per-grid-step variant of the same idea
+# chip can confirm it. CLOSED round 4: the prototype now exists as code
+# (scripts/perf_lstm_chains.py, bit-identical by interpret-mode and
+# on-chip spot checks) and a 3-round alternating best-of-10 A/B net of
+# the tunnel floor put chains2/chains4 within 0.1-0.2 ms of production
+# (-3.5%/-2.4% of a ~4.7 ms net kernel) — the round-2 -13%/-21% reading
+# was tunnel variance. Do not integrate. (A 2-blocks-per-grid-step variant of the same idea
 # mis-tiles: n_blocks = b_pad // (2*block) silently drops the tail rows
 # when b_pad is an odd multiple of block — don't resurrect that form.) The step is latency-bound on the recurrence matmul +
 # gate VPU chain itself, not on grid/DMA overhead, consistent with the
