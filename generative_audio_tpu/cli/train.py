@@ -128,7 +128,20 @@ def main(argv=None):
         if args.resume:
             trainer.restore_latest()
         _dist_state(trainer)
+        # optional `validation:` dataset block — enables periodic val at
+        # log_interval and the val-minimum best/ checkpoint (masked-MSE
+        # val is noisy across checkpoints; see the round-4 sweep in
+        # artifacts/inpainting_e2e/REPORT.md)
+        val_loader = None
+        if raw.get("validation"):
+            val_ds = AudioInpaintingDataset(
+                build_dataclass(AudioInpaintingConfig, raw["validation"]))
+            val_loader = BatchLoader(val_ds, collate_fn=collate_inpainting,
+                                     **{"global_batch_size": 16,
+                                        **loader_cfg})
         trainer.train(_dist(loader), n_steps=args.steps, n_epochs=args.epochs,
+                      val_loader=(_dist(val_loader)
+                                  if val_loader is not None else None),
                       log=log)
 
     elif line == "nppc_inpainting":

@@ -813,6 +813,39 @@ def report():
                 "",
                 nc.get("report_verdict", ""),
             ]
+        pw_path = ARTIFACTS / "training_summary_cbpw.json"
+        if pw_path.exists():
+            pw = json.loads(pw_path.read_text())
+            pwf, pwh = pw["final_best_model"], pw["final_best_model_hard"]
+            w = pw.get("probe_weight", 0.3)
+            lines += [
+                "",
+                "### Probe-inclusive selection demo "
+                f"(`--probe_weight {w:g}`, round 4)",
+                "",
+                "The selection-policy lever the near-clean A/B motivated, "
+                "run for real: same combined-arm training, best model "
+                f"selected on (1-{w:g})*val + {w:g}*probe composite "
+                "(`EnhanceTrainer.train(probe_dataset=..., "
+                "probe_weight=...)`). CAVEAT: for THIS arm the "
+                "unseen-noise probe is part of the selection criterion, "
+                "so its 'hard' columns measure the policy's effect, not "
+                "blind generalization.",
+                "",
+                "| arm | selection | val composite | val SI-SDR | "
+                "val STOI | hard SI-SDR | hard STOI |",
+                "|---|---|---|---|---|---|---|",
+                f"| combined (w=0) | in-distribution | "
+                f"{cb['best_composite']:.4f} | {cbf['SI_SDR']:.2f} | "
+                f"{cbf['STOI']:.4f} | {cbh['SI_SDR']:.2f} | "
+                f"{cbh['STOI']:.4f} |",
+                f"| combined (w={w:g}) | blended {pw['best_composite']:.4f}"
+                f" | {pwf.get('composite', float('nan')):.4f} | "
+                f"{pwf['SI_SDR']:.2f} | {pwf['STOI']:.4f} | "
+                f"{pwh['SI_SDR']:.2f} | {pwh['STOI']:.4f} |",
+                "",
+                pw.get("report_verdict", ""),
+            ]
     audit_md = ARTIFACTS / "pesq_family_audit.md"
     if audit_md.exists():
         lines += ["", audit_md.read_text().rstrip()]

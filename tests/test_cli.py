@@ -44,6 +44,37 @@ def test_train_cli_restoration(tmp_path, corpus):
     assert (tmp_path / "ckpt" / "latest").exists()
 
 
+def test_train_cli_restoration_validation_block(tmp_path, corpus):
+    """A `validation:` dataset block turns on periodic val at log_interval
+    and the val-minimum best/ checkpoint (round-4 lever)."""
+    clean_dir, _ = corpus
+    data = {
+        "clean_path": str(clean_dir),
+        "missing_length_seconds": 0.128,
+        "sub_sample_length_seconds": 2.044,
+        "file_glob": "*.wav",
+    }
+    cfg = {
+        "line": "restoration",
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "train": {
+            "model": {"in_channels": 1, "out_channels": 1, "dropout": 0.2},
+            "num_freqs": 128, "num_frames": 256,
+            "log_interval": 2, "save_interval": 100,
+        },
+        "data": data,
+        "validation": data,        # same synthetic corpus as a val stand-in
+        "dataloader": {"global_batch_size": 2, "num_workers": 2},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from generative_audio_tpu.cli.train import main
+    main(["-C", str(cfg_path), "--steps", "4"])
+    assert (tmp_path / "ckpt" / "best").exists()
+    assert (tmp_path / "ckpt" / "best_score.json").exists()
+
+
 def test_inference_cli(tmp_path, corpus):
     clean_dir, noise_dir = corpus
     # build a tiny model checkpoint
