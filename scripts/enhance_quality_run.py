@@ -843,9 +843,27 @@ def report():
                 f" | {pwf.get('composite', float('nan')):.4f} | "
                 f"{pwf['SI_SDR']:.2f} | {pwf['STOI']:.4f} | "
                 f"{pwh['SI_SDR']:.2f} | {pwh['STOI']:.4f} |",
+            ]
+            ncpw_path = ARTIFACTS / "training_summary_cbncpw.json"
+            if ncpw_path.exists():
+                np_ = json.loads(ncpw_path.read_text())
+                npf = np_["final_best_model"]
+                nph = np_["final_best_model_hard"]
+                lines += [
+                    f"| + near-clean (w="
+                    f"{np_.get('probe_weight', 0.3):g}, SNR "
+                    f"-5..{int(np_.get('snr_max', 40))}) | blended "
+                    f"{np_['best_composite']:.4f} | "
+                    f"{npf.get('composite', float('nan')):.4f} | "
+                    f"{npf['SI_SDR']:.2f} | {npf['STOI']:.4f} | "
+                    f"{nph['SI_SDR']:.2f} | {nph['STOI']:.4f} |",
+                ]
+            lines += [
                 "",
                 pw.get("report_verdict", ""),
             ]
+            if ncpw_path.exists():
+                lines += ["", np_.get("report_verdict", "")]
     audit_md = ARTIFACTS / "pesq_family_audit.md"
     if audit_md.exists():
         lines += ["", audit_md.read_text().rstrip()]
