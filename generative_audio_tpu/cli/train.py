@@ -40,6 +40,10 @@ def main(argv=None):
     # image lines carry no data section (their trainers own the data module)
     data_cfg = raw.pop("data", None)
     loader_cfg = raw.pop("dataloader", {})
+    # enhance line: optional in-loop validation + best-model selection
+    # (reference base_trainer.py:296-303), with the probe-inclusive
+    # criterion as a config option (round-5 promoted workflow)
+    val_cfg = raw.pop("validation", None)
     log = get_logger().info
 
     # Multi-process (multi-host / launcher) runtime: connect, shard the
@@ -93,6 +97,17 @@ def main(argv=None):
                 trainer.best_score = float(
                     multihost_utils.broadcast_one_to_all(
                         _np.float64(trainer.best_score)))
+            # RestorationTrainer tracks best_val the same way (save_best
+            # on `val < best_val` is a COLLECTIVE orbax save) — if ranks
+            # disagree after a resume where best_score.json was visible
+            # only to the coordinator, some ranks skip the save and the
+            # rest deadlock in orbax's barrier.
+            if getattr(trainer, "best_val", None) is not None:
+                import numpy as _np
+                from jax.experimental import multihost_utils
+                trainer.best_val = float(
+                    multihost_utils.broadcast_one_to_all(
+                        _np.float64(trainer.best_val)))
         return trainer
 
     from generative_audio_tpu.data import BatchLoader
@@ -112,7 +127,21 @@ def main(argv=None):
         if args.resume:
             trainer.restore_latest()
         _dist_state(trainer)
-        trainer.train(_dist(loader), epochs=args.epochs or 1, log=log)
+        val_ds = probe_ds = None
+        val_interval, probe_weight = 1, 0.0
+        if val_cfg:
+            from generative_audio_tpu.data import DNSValidationDataset
+            sr = int(data_cfg.get("sr", 16000)) if data_cfg else 16000
+            if val_cfg.get("val_dir"):
+                val_ds = DNSValidationDataset([val_cfg["val_dir"]], sr=sr)
+            if val_cfg.get("probe_dir"):
+                probe_ds = DNSValidationDataset([val_cfg["probe_dir"]],
+                                                sr=sr)
+            val_interval = int(val_cfg.get("validation_interval", 1))
+            probe_weight = float(val_cfg.get("probe_weight", 0.0))
+        trainer.train(_dist(loader), epochs=args.epochs or 1, log=log,
+                      val_dataset=val_ds, validation_interval=val_interval,
+                      probe_dataset=probe_ds, probe_weight=probe_weight)
 
     elif line == "restoration":
         from generative_audio_tpu import train as T
@@ -133,9 +162,9 @@ def main(argv=None):
         # val is noisy across checkpoints; see the round-4 sweep in
         # artifacts/inpainting_e2e/REPORT.md)
         val_loader = None
-        if raw.get("validation"):
+        if val_cfg:
             val_ds = AudioInpaintingDataset(
-                build_dataclass(AudioInpaintingConfig, raw["validation"]))
+                build_dataclass(AudioInpaintingConfig, val_cfg))
             val_loader = BatchLoader(val_ds, collate_fn=collate_inpainting,
                                      **{"global_batch_size": 16,
                                         **loader_cfg})

@@ -79,11 +79,19 @@ class CheckpointManager:
     def save_step(self, state_tree, step: int):
         self._save(f"step_{int(step):08d}", state_tree)
 
-    def save_best(self, state_tree, score: float, step: int):
+    def save_best(self, state_tree, score: float, step: int,
+                  extra: Optional[Dict] = None):
+        """`extra` records the selection criterion alongside the score
+        (e.g. probe_weight + the raw composite when the score is a blended
+        selection value) so a resume can detect an incommensurate
+        criterion instead of comparing blended vs plain scores."""
         self._save("best", state_tree)
         if _is_coordinator():
-            (self.directory / "best_score.json").write_text(
-                json.dumps({"score": float(score), "step": int(step)}))
+            meta = {"score": float(score), "step": int(step)}
+            if extra:
+                meta.update({k: (float(v) if isinstance(v, (int, float))
+                                 else v) for k, v in extra.items()})
+            (self.directory / "best_score.json").write_text(json.dumps(meta))
 
     # ---------------------------------------------------------- restore ----
     def restore(self, name: str, target_tree, partial: bool = False):
@@ -164,6 +172,13 @@ class CheckpointManager:
         if not path.exists():
             return None
         return json.loads(path.read_text())["score"]
+
+    def best_meta(self) -> Optional[Dict]:
+        """Full best_score.json record (score, step, selection criterion)."""
+        path = self.directory / "best_score.json"
+        if not path.exists():
+            return None
+        return json.loads(path.read_text())
 
 
 def resume_latest(ckpt: Optional["CheckpointManager"], state,

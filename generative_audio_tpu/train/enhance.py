@@ -254,6 +254,9 @@ class EnhanceTrainer:
         self.best_score = -float("inf")
         self.loss_history = []
         self.val_history = []
+        self.probe_history = []   # (step, probe_composite) when a probe
+        # dataset is supplied — recorded even at probe_weight 0 so the
+        # selection policy can be swept post-hoc over step checkpoints
         self.tracker = tracker  # utils.tracking.ExperimentTracker or None
 
     def train_epoch(self, loader, log=print) -> float:
@@ -322,7 +325,26 @@ class EnhanceTrainer:
         was within 0.005 STOI of passthrough, trading it for +0.008
         composite — a deployment that values robustness needs the probe
         in the criterion, not just in the report.
+
+        A probe_dataset given with probe_weight=0 is evaluated and
+        recorded (probe_history, tracker) but never drives selection —
+        the post-hoc-sweep regime.
         """
+        # Selection scores are only comparable under ONE criterion: if a
+        # resumed checkpoint's best/ was selected under a different
+        # probe_weight, its stored score is a blended value on a different
+        # scale — reset rather than compare incommensurables.
+        if self.ckpt is not None:
+            meta = self.ckpt.best_meta()
+            if meta is not None and self.best_score > -float("inf"):
+                saved_w = float(meta.get("probe_weight", 0.0))
+                cur_w = probe_weight if probe_dataset is not None else 0.0
+                if saved_w != cur_w:
+                    warnings.warn(
+                        f"resumed best_score was selected with probe_weight="
+                        f"{saved_w:g} but this run uses {cur_w:g}; resetting "
+                        "best-model tracking (scores are incommensurate)")
+                    self.best_score = -float("inf")
         for epoch in range(1, epochs + 1):
             avg = self.train_epoch(loader, log=log)
             log(f"[Train] Epoch {epoch}, Loss {avg:.5f}")
@@ -338,12 +360,14 @@ class EnhanceTrainer:
             if val_dataset is not None and epoch % validation_interval == 0:
                 scores = self.validate(val_dataset)
                 select = scores["composite"]
-                if probe_dataset is not None and probe_weight > 0.0:
+                if probe_dataset is not None:
                     probe = self.validate(probe_dataset)
-                    select = ((1.0 - probe_weight) * scores["composite"]
-                              + probe_weight * probe["composite"])
                     scores["probe_composite"] = probe["composite"]
-                    scores["selection"] = select
+                    self.probe_history.append((step, probe["composite"]))
+                    if probe_weight > 0.0:
+                        select = ((1.0 - probe_weight) * scores["composite"]
+                                  + probe_weight * probe["composite"])
+                        scores["selection"] = select
                 log(f"[Validate] Epoch {epoch}: {scores}")
                 self.val_history.append(
                     (step, scores.get("composite") or 0.0))
@@ -353,8 +377,12 @@ class EnhanceTrainer:
                         step=step)
                 if self.ckpt and select > self.best_score:
                     self.best_score = select
-                    self.ckpt.save_best({"params": self.state.params},
-                                        select, step)
+                    self.ckpt.save_best(
+                        {"params": self.state.params}, select, step,
+                        extra={"probe_weight": (
+                            probe_weight if probe_dataset is not None
+                            else 0.0),
+                            "composite": scores["composite"]})
                     # re-save latest with the UPDATED best_score (ref
                     # base_trainer.py:315-340) — otherwise a resume from a
                     # run that ended here restores the stale pre-validation

@@ -40,6 +40,14 @@ class RestorationTrainConfig:
     num_frames: int = 256
     log_interval: int = 100
     save_interval: int = 1000
+    # Regularizers from the reference NetWrapper (nppc/auxil.py:257-378):
+    # ema_decay > 0 keeps an EMA shadow of the params — validation and
+    # best-checkpoint selection then run on the EMA params (the reference
+    # benchmarks/updates best on the EMA copy when enabled);
+    # optimizer "adamw" + weight_decay maps auxil.py:316-322.
+    ema_decay: float = 0.0
+    optimizer: str = "Adam"
+    weight_decay: float = 0.0
 
 
 class RestorationTrainer:
@@ -60,9 +68,12 @@ class RestorationTrainer:
             k, dummy, jnp.ones_like(dummy), train=False))(
             jax.random.PRNGKey(seed))
         tx = make_optimizer(config.learning_rate, config.betas,
-                            clip_norm=config.clip_grad_norm)
+                            clip_norm=config.clip_grad_norm,
+                            optimizer=config.optimizer,
+                            weight_decay=config.weight_decay)
         self.state = create_train_state(variables["params"], tx,
-                                        batch_stats=variables["batch_stats"])
+                                        batch_stats=variables["batch_stats"],
+                                        ema_decay=config.ema_decay)
         from generative_audio_tpu.parallel import replicate_state
         self.state = replicate_state(self.state, mesh)
         self.ckpt = (CheckpointManager(checkpoint_dir, config)
@@ -98,7 +109,11 @@ class RestorationTrainer:
         return state.apply_gradients(grads, new_batch_stats=new_stats), loss
 
     def _eval_step(self, state: TrainState, batch):
-        return self._loss(state.params, state.batch_stats, None, batch, False)
+        # with EMA enabled, validate (and hence select best/) on the EMA
+        # shadow — the params that would ship
+        params = (state.ema_params if self.config.ema_decay > 0
+                  else state.params)
+        return self._loss(params, state.batch_stats, None, batch, False)
 
     # ------------------------------------------------------------ loops ----
     def train(self, loader, n_steps: Optional[int] = None,
@@ -133,10 +148,15 @@ class RestorationTrainer:
                     # final snapshot
                     if self.ckpt and val < self.best_val:
                         self.best_val = val
+                        best_params = (self.state.ema_params
+                                       if self.config.ema_decay > 0
+                                       else self.state.params)
                         self.ckpt.save_best(
-                            {"params": self.state.params,
+                            {"params": best_params,
                              "batch_stats": self.state.batch_stats},
-                            val, step)
+                            val, step,
+                            extra={"ema_decay": self.config.ema_decay,
+                                   "weight_decay": self.config.weight_decay})
                 log(msg)
             if self.ckpt and step % self.config.save_interval == 0:
                 self._save(step)
@@ -159,6 +179,8 @@ class RestorationTrainer:
                 "batch_stats": self.state.batch_stats,
                 "opt_state": self.state.opt_state,
                 "step": np.asarray(step)}
+        if self.state.ema_params is not None:
+            tree["ema_params"] = self.state.ema_params
         self.ckpt.save_latest(tree, step)
         if final:
             ts = time.strftime("%Y%m%d_%H%M%S")
@@ -174,8 +196,10 @@ class RestorationTrainer:
 
     def restore_latest(self):
         from generative_audio_tpu.train.checkpoint import resume_latest
-        new_state, _ = resume_latest(
-            self.ckpt, self.state, ("params", "batch_stats", "opt_state"))
+        fields = ["params", "batch_stats", "opt_state"]
+        if self.state.ema_params is not None:
+            fields.append("ema_params")
+        new_state, _ = resume_latest(self.ckpt, self.state, tuple(fields))
         if new_state is None:
             return False
         self.state = new_state

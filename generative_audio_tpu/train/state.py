@@ -48,7 +48,11 @@ class TrainState(struct.PyTreeNode):
         new_params = optax.apply_updates(self.params, updates)
         new_ema = self.ema_params
         if new_ema is not None:
-            d = self.ema_decay
+            # reference warmup (auxil.py:376): alpha = max(alpha0, 1/step),
+            # i.e. decay = min(decay0, 1 - 1/step) — the EMA tracks a plain
+            # running average until 1/step falls below the update weight
+            step = (self.step + 1).astype(jnp.float32)
+            d = jnp.minimum(self.ema_decay, 1.0 - 1.0 / step)
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: d * e + (1.0 - d) * p, new_ema, new_params)
         return self.replace(
@@ -73,7 +77,10 @@ def make_optimizer(learning_rate: float = 1e-3, betas=(0.9, 0.999),
 
 def create_train_state(params, tx: optax.GradientTransformation,
                        batch_stats=None, ema_decay: float = 0.0) -> TrainState:
-    ema = (jax.tree_util.tree_map(lambda x: x, params)
+    # a REAL copy, not an identity tree_map: ema leaves must be distinct
+    # buffers from params or a donated train step would donate the same
+    # buffer twice (params and its alias)
+    ema = (jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
            if ema_decay > 0 else None)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params), batch_stats=batch_stats,

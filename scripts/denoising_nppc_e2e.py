@@ -47,13 +47,13 @@ def _model_config():
         stft=StftConfig(nfft=512, hop_length=256, win_length=512))
 
 
-def _restoration_params():
-    """Best params from the enhancement quality run."""
+def _restoration_params(enh_tag: str = ""):
+    """Best params from the enhancement quality run (ckpt{enh_tag})."""
     import jax
     from generative_audio_tpu.train import (
         EnhanceTrainConfig, init_enhance_state, CheckpointManager)
     state = init_enhance_state(EnhanceTrainConfig(), jax.random.PRNGKey(0))
-    mgr = CheckpointManager(str(EQ_ROOT / "ckpt"))
+    mgr = CheckpointManager(str(EQ_ROOT / f"ckpt{enh_tag}"))
     restored = mgr.restore("best", {"params": state.params})
     if restored is None:
         restored = mgr.restore("latest", {"params": state.params},
@@ -81,18 +81,18 @@ def stage_pool(n_batches: int, seed: int):
     return pool
 
 
-def train(steps: int, lr: float = 3e-4):
+def train(steps: int, lr: float = 3e-4, enh_tag: str = ""):
     import jax
     from generative_audio_tpu.train.nppc import (
         NPPCDenoisingTrainConfig, NPPCDenoisingTrainer)
 
-    print(f"backend={jax.default_backend()}")
+    print(f"backend={jax.default_backend()}, enh_tag={enh_tag!r}")
     cfg = NPPCDenoisingTrainConfig(
         model=_model_config(), learning_rate=lr,
         second_moment_loss_grace=1000,
         log_interval=50, save_interval=500)
     trainer = NPPCDenoisingTrainer(
-        cfg, restoration_params=_restoration_params(),
+        cfg, restoration_params=_restoration_params(enh_tag),
         checkpoint_dir=str(CKPT), example_length=16384)
     if trainer.restore_latest():
         print(f"resumed from step {int(trainer.state.step)}")
@@ -137,6 +137,172 @@ def train(steps: int, lr: float = 3e-4):
           f"({1000 * dt / max(steps, 1):.0f} ms/step); segment objective "
           f"{np.mean(trainer.loss_history[:20]):.4f} -> "
           f"{np.mean(trainer.loss_history[-20:]):.4f}")
+
+
+def evaluate(n_samples: int, jitter_k: int = 16, seed: int = 11):
+    """Quantitative evaluation of the denoising-NPPC directions (round 5,
+    VERDICT r4 item 5): on held-out (noisy, clean) pairs, in the training
+    objective's cRM error space (compressed cIRM, drop_band G=2 — the same
+    space reconst_err is defined on, nppc_audio/trainer.py:337-371):
+
+      * capture fraction  — 1 - reconst_err: how much of the normalized
+        cIRM-error energy the 5 learned directions span, per sample
+      * per-direction spectra — err_proj_k^2 and w_norm_k^2 (the second-
+        moment pairing the objective trains toward)
+      * orthonormality audit — max |G - I| of the complex Gram matrix of
+        the normalized directions on VALIDATION data
+      * baselines — (a) a random 5-dim orthonormal complex subspace
+        (chance floor ~= K/D), (b) PCA of an input-jitter prediction
+        ensemble (the denoising analogue of the inpainting line's
+        MC-dropout+PCA baseline, root utils.py:545-648: FullSubNet+ has no
+        inference dropout, so the stochastic ensemble comes from small
+        input perturbations), including principal angles between the NPPC
+        and jitter-PCA subspaces (validator_nppc_model.py:785-810).
+    """
+    import jax
+    import jax.numpy as jnp
+    from generative_audio_tpu.train.nppc import (
+        NPPCDenoisingTrainConfig, NPPCDenoisingTrainer)
+    from generative_audio_tpu.train import CheckpointManager
+    from generative_audio_tpu.ops.stft import stft_ri
+    from generative_audio_tpu.ops.mask import (
+        build_complex_ideal_ratio_mask_ri)
+    from generative_audio_tpu.ops.subband import drop_band
+    from generative_audio_tpu.data.audio_io import load_audio
+
+    cfg = NPPCDenoisingTrainConfig(model=_model_config())
+    trainer = NPPCDenoisingTrainer(cfg, example_length=16384)
+    restored = CheckpointManager(str(CKPT)).restore(
+        "latest", {"params": trainer.state.params,
+                   "step": np.asarray(0)}, partial=True)
+    assert restored is not None, "run train first"
+    params = restored["params"]
+    model = trainer.model
+    s = cfg.model.stft
+    groups = cfg.model.pc_wrapper.num_groups_in_drop_band
+
+    @jax.jit
+    def forward(v, noisy, clean):
+        w_mat, pred_crm = model.apply(v, noisy,
+                                      method=model.forward_with_pred_crm)
+        nr, ni = stft_ri(noisy, s.nfft, s.hop_length, s.win_length)
+        cr, ci = stft_ri(clean, s.nfft, s.hop_length, s.win_length)
+        gt = build_complex_ideal_ratio_mask_ri(nr, ni, cr, ci)
+        gt = drop_band(jnp.transpose(gt, (0, 3, 1, 2)), groups)
+        pred = drop_band(pred_crm, groups)
+        return w_mat, gt, pred
+
+    @jax.jit
+    def jitter_preds(v, noisy_jit):
+        # frozen-enhancer predictions only (one batched forward over the
+        # K jittered copies)
+        _, pred_crm = model.apply(v, noisy_jit,
+                                  method=model.forward_with_pred_crm)
+        return drop_band(pred_crm, groups)
+
+    def to_complex(x):                       # [..., 2, F, T] -> [..., D]
+        x = np.asarray(x, np.float64)
+        return (x[..., 0, :, :] + 1j * x[..., 1, :, :]).reshape(
+            *x.shape[:-3], -1)
+
+    def capture(dirs, e_hat):
+        """dirs [K, D] orthonormal complex, e_hat [D] unit: captured
+        energy sum |<d_k, e>|^2."""
+        proj = dirs.conj() @ e_hat
+        return float(np.sum(np.abs(proj) ** 2))
+
+    rng = np.random.default_rng(seed)
+    noisy_files = sorted((EQ_ROOT / "val" / "noisy").glob("*.wav"))
+    clean_files = sorted((EQ_ROOT / "val" / "clean").glob("*.wav"))
+    n = min(n_samples, len(noisy_files))
+    rows = []
+    for i in range(n):
+        noisy = load_audio(noisy_files[i], SR)[: SR * 3][None]
+        clean = load_audio(clean_files[i], SR)[: SR * 3][None]
+        w_mat, gt, pred = forward({"params": params},
+                                  jnp.asarray(noisy), jnp.asarray(clean))
+        # fetch a tail slice first: executions are in-order over the tunnel
+        _ = np.asarray(pred[0, 0, :4, 0])
+        w = to_complex(np.asarray(w_mat))[0]             # [K, D]
+        e = to_complex(np.asarray(gt) - np.asarray(pred))[0]        # [D]
+        e_norm = np.linalg.norm(e)
+        e_hat = e / (e_norm + 1e-12)
+        w_norms = np.linalg.norm(w, axis=-1)
+        w_hat = w / (w_norms[:, None] + 1e-12)
+        gram = w_hat.conj() @ w_hat.T
+        ortho_dev = float(np.max(np.abs(gram - np.eye(len(gram)))))
+        proj = w_hat.conj() @ e_hat
+        cap_nppc = float(np.sum(np.abs(proj) ** 2))
+
+        D = w.shape[-1]
+        # (a) random orthonormal complex subspace — the chance floor
+        z = (rng.standard_normal((D, N_DIRS))
+             + 1j * rng.standard_normal((D, N_DIRS)))
+        q, _ = np.linalg.qr(z)
+        cap_rand = capture(q.T, e_hat)
+
+        # (b) input-jitter prediction ensemble -> PCA
+        sigma = 0.05 * float(np.sqrt(np.mean(noisy ** 2)))
+        jit = noisy + sigma * rng.standard_normal(
+            (jitter_k, noisy.shape[-1])).astype(np.float32)
+        preds = jitter_preds({"params": params}, jnp.asarray(jit))
+        _ = np.asarray(preds[0, 0, :4, 0])
+        pj = to_complex(np.asarray(preds))               # [K_jit, D]
+        pj = pj - pj.mean(axis=0, keepdims=True)
+        # top-5 right singular vectors of the centered ensemble
+        _, sv, vh = np.linalg.svd(pj, full_matrices=False)
+        pca_dirs = vh[:N_DIRS]                           # [5, D] orthonormal
+        cap_pca = capture(pca_dirs, e_hat)
+
+        # principal angles NPPC vs jitter-PCA (QR+SVD)
+        qn, _ = np.linalg.qr(w_hat.T)
+        qp, _ = np.linalg.qr(pca_dirs.T)
+        sv_ang = np.clip(np.linalg.svd(qn.conj().T @ qp,
+                                       compute_uv=False), -1, 1)
+        angles = np.degrees(np.arccos(sv_ang))
+
+        rows.append({
+            "sample": i,
+            "err_norm": float(e_norm),
+            "capture_nppc": cap_nppc,
+            "capture_random5": cap_rand,
+            "capture_jitter_pca5": cap_pca,
+            "reconst_err": 1.0 - cap_nppc,
+            "ortho_max_dev": ortho_dev,
+            "per_dir_err_proj_sq": [float(np.abs(p) ** 2) for p in proj],
+            "per_dir_w_norm_sq": [float((wn / (e_norm + 1e-12)) ** 2)
+                                  for wn in w_norms],
+            "principal_angles_deg": [float(a) for a in angles],
+            "ambient_dim": int(D),
+        })
+        print(f"sample {i}: capture nppc={cap_nppc:.4f} "
+              f"pca={cap_pca:.4f} rand={cap_rand:.6f} "
+              f"ortho_dev={ortho_dev:.2e} "
+              f"min_angle={angles.min():.1f}deg")
+
+    out = {
+        "n_samples": n, "jitter_k": jitter_k,
+        "mean_capture_nppc": float(np.mean([r["capture_nppc"]
+                                            for r in rows])),
+        "mean_capture_jitter_pca5": float(np.mean(
+            [r["capture_jitter_pca5"] for r in rows])),
+        "mean_capture_random5": float(np.mean(
+            [r["capture_random5"] for r in rows])),
+        "max_ortho_dev": float(np.max([r["ortho_max_dev"] for r in rows])),
+        "mean_per_dir_err_proj_sq": [
+            float(np.mean([r["per_dir_err_proj_sq"][k] for r in rows]))
+            for k in range(N_DIRS)],
+        "mean_per_dir_w_norm_sq": [
+            float(np.mean([r["per_dir_w_norm_sq"][k] for r in rows]))
+            for k in range(N_DIRS)],
+        "samples": rows,
+    }
+    out_dir = ARTIFACTS / "validation"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "quantitative.json").write_text(
+        json.dumps(out, indent=2, default=float))
+    print(json.dumps({k: v for k, v in out.items() if k != "samples"},
+                     indent=2, default=float))
 
 
 def validate(n_samples: int):
@@ -233,21 +399,76 @@ def report():
         "`artifacts/denoising_nppc/validation/`; per-sample summaries in "
         "`summary.json`.",
     ]
+    quant_path = ARTIFACTS / "validation" / "quantitative.json"
+    if quant_path.exists():
+        q = json.loads(quant_path.read_text())
+        rows = q["samples"]
+        lines += [
+            "",
+            "## Quantitative evaluation (round 5; `evaluate` stage)",
+            "",
+            "Held-out pairs, in the training objective's error space "
+            "(compressed cIRM, drop_band G=2). `capture` = fraction of "
+            "normalized cIRM-error energy spanned by the 5 directions "
+            "(1 - reconst_err). Baselines: a random orthonormal 5-dim "
+            "complex subspace (chance floor K/D), and PCA of a "
+            f"{q['jitter_k']}-member input-jitter prediction ensemble "
+            "(the denoising analogue of the inpainting line's MC-dropout"
+            "+PCA baseline — FullSubNet+ has no inference dropout).",
+            "",
+            "| sample | NPPC capture | jitter-PCA capture | random-5 "
+            "capture | ortho dev | min principal angle (deg) |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in rows:
+            lines.append(
+                f"| {r['sample']} | {r['capture_nppc']:.4f} | "
+                f"{r['capture_jitter_pca5']:.4f} | "
+                f"{r['capture_random5']:.6f} | {r['ortho_max_dev']:.1e} | "
+                f"{min(r['principal_angles_deg']):.1f} |")
+        nppc_m, pca_m = (q["mean_capture_nppc"],
+                         q["mean_capture_jitter_pca5"])
+        lines += [
+            "",
+            f"Mean capture: NPPC {nppc_m:.4f} vs jitter-PCA {pca_m:.4f} "
+            f"vs random {q['mean_capture_random5']:.6f} "
+            f"({'NPPC > jitter-PCA' if nppc_m > pca_m else 'jitter-PCA >= NPPC'}"
+            f"; ambient dim {rows[0]['ambient_dim']}). "
+            f"Max orthonormality deviation {q['max_ortho_dev']:.1e}.",
+            "",
+            "Per-direction mean err_proj^2 (the energy each direction "
+            "captures): "
+            + ", ".join(f"{v:.4f}"
+                        for v in q["mean_per_dir_err_proj_sq"])
+            + "; per-direction mean w_norm^2 (the second-moment "
+            "prediction): "
+            + ", ".join(f"{v:.4f}" for v in q["mean_per_dir_w_norm_sq"])
+            + ".",
+        ]
     (ARTIFACTS / "REPORT.md").write_text("\n".join(lines) + "\n")
     print((ARTIFACTS / "REPORT.md").read_text())
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("stage", choices=["train", "validate", "report"])
+    parser.add_argument("stage", choices=["train", "validate", "evaluate",
+                                          "report"])
     parser.add_argument("--steps", type=int, default=800)
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--samples", type=int, default=4)
+    parser.add_argument("--enh_tag", default="",
+                        help="train: tag of the frozen enhancer checkpoint "
+                        "(data/enhance_quality/ckpt<tag>)")
+    parser.add_argument("--jitter_k", type=int, default=16,
+                        help="evaluate: input-jitter ensemble size for the "
+                        "PCA baseline")
     args = parser.parse_args()
     if args.stage == "train":
-        train(args.steps, lr=args.lr)
+        train(args.steps, lr=args.lr, enh_tag=args.enh_tag)
     elif args.stage == "validate":
         validate(args.samples)
+    elif args.stage == "evaluate":
+        evaluate(args.samples, jitter_k=args.jitter_k)
     else:
         report()
 

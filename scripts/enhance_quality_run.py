@@ -204,6 +204,98 @@ def augment_noise():
           f"{sorted(p.stem for p in noise_dir.glob('*.wav'))}")
 
 
+def build_probe2():
+    """Selection-blind second probe set (round-5, VERDICT r4 item 1).
+
+    Three noise families disjoint from BOTH the 12-type training bank and
+    the val_hard probe (brown/clicks/chirp), on the held-out speakers:
+      mod_babble    — babble (train-speaker speech) gated by a deep slow AM
+                      envelope; babble exists in TRAINING, but never
+                      amplitude-gated (train AM families gate white noise)
+      impulse_train — PERIODIC 8 Hz decaying rings (train clicks are
+                      random-position broadband bursts)
+      sweep_band    — narrow BAND NOISE whose center sweeps 300->3000 Hz
+                      over 4 s (probe chirp is a swept TONE; train bands
+                      are fixed)
+    This set never enters any selection criterion (including probe-weight
+    arms, which select on val_hard) — it is scored only on final
+    checkpoints, giving probe-weight selection an unbiased generalization
+    estimate.
+    """
+    from scipy.io import wavfile
+    from generative_audio_tpu.data.audio_io import write_wav
+
+    rng = np.random.default_rng(41)
+    n = int(10.0 * SR)
+    t = np.arange(n) / SR
+    out = {}
+    # modulated babble from TRAIN speakers (held-out val speakers stay
+    # speech-only)
+    train_wavs = sorted(REF_WAVS.glob("*.wav"))[:10]
+    bab = np.zeros(n)
+    for k in range(6):
+        sr, pcm = wavfile.read(train_wavs[int(rng.integers(0, 10))])
+        src = (pcm / 32768.0).astype(np.float32)
+        start = int(rng.integers(0, max(1, len(src) - n)))
+        seg = src[start:start + n]
+        bab[:len(seg)] += seg * (0.5 + rng.random())
+    env = np.clip(np.sin(2 * np.pi * 1.3 * t + rng.random() * 6.28), 0, None)
+    out["mod_babble"] = bab * env ** 2
+    # periodic decaying rings
+    imp = np.zeros(n)
+    period = int(SR / 8.0)
+    ring_t = np.arange(int(0.04 * SR)) / SR
+    for pos in range(0, n - len(ring_t), period):
+        f0 = 600 + 2200 * rng.random()
+        imp[pos:pos + len(ring_t)] += (np.sin(2 * np.pi * f0 * ring_t)
+                                       * np.exp(-ring_t / 0.008))
+    out["impulse_train"] = imp + 0.05 * rng.standard_normal(n)
+    # swept narrowband noise: heterodyne a fixed low-pass band up a ramp
+    base = np.fft.rfft(rng.standard_normal(n))
+    f = np.fft.rfftfreq(n, 1 / SR)
+    base[f > 150] = 0                      # ±150 Hz-wide band
+    lp = np.fft.irfft(base, n)
+    fc = 300 + 2700 * ((t / 4.0) % 1.0)    # 4 s sweep, repeating
+    phase = 2 * np.pi * np.cumsum(fc) / SR
+    out["sweep_band"] = lp * np.cos(phase)
+
+    noise = {k: (0.2 * v / (np.abs(v).max() + 1e-9)).astype(np.float32)
+             for k, v in out.items()}
+
+    # fixed pairs from the held-out speakers, same regime as val/val_hard
+    from generative_audio_tpu.ops.waveform import tailor_dB_FS
+    wavs = sorted(REF_WAVS.glob("*.wav"))
+    val_wavs = wavs[10:12]
+    chunk = 5 * SR
+    val_dir = ROOT / "val_probe2"
+    (val_dir / "noisy").mkdir(parents=True, exist_ok=True)
+    (val_dir / "clean").mkdir(parents=True, exist_ok=True)
+    idx = 0
+    for p in val_wavs:
+        sr, pcm = wavfile.read(p)
+        x = (pcm / 32768.0).astype(np.float32)
+        for s in range(0, len(x) - chunk + 1, chunk):
+            clean = x[s:s + chunk]
+            clean, *_ = tailor_dB_FS(clean, -25.0)
+            for snr in (0.0, 5.0):
+                nkey = list(noise)[idx % len(noise)]
+                nz = noise[nkey]
+                start = int(rng.integers(0, len(nz) - chunk + 1))
+                nz = nz[start:start + chunk].copy()
+                nz, *_ = tailor_dB_FS(nz, -25.0)
+                clean_rms = np.sqrt(np.mean(clean ** 2))
+                noise_rms = np.sqrt(np.mean(nz ** 2))
+                gain = clean_rms / (noise_rms * 10 ** (snr / 20) + 1e-9)
+                noisy = clean + gain * nz
+                peak = np.abs(noisy).max()
+                if peak > 0.99:
+                    clean, noisy = clean * 0.99 / peak, noisy * 0.99 / peak
+                write_wav(val_dir / "noisy" / f"v{idx:03d}.wav", noisy, SR)
+                write_wav(val_dir / "clean" / f"v{idx:03d}.wav", clean, SR)
+                idx += 1
+    print(f"val_probe2 pairs: {idx} ({sorted(noise)})")
+
+
 # ------------------------------------------------------------------ train --
 class PairFileDataset:
     """Fixed (noisy, clean) wav pairs for deterministic validation."""
@@ -294,18 +386,30 @@ def reverb_corpus(n_rirs: int = 40):
 
 
 def stage_mixture_pool(n_batches: int, batch: int = 18, seed: int = 1,
-                       reverb: bool = False, snr_max: float = 20.0):
+                       reverb: bool = False, snr_max: float = 20.0,
+                       corpus3x: bool = False):
     """Pre-mix a pool of (noisy, clean) waveform batches on the host and
     stage them to the device ONCE — on-the-fly mixing feeds the chip at
     ~2.6 s/step over the tunnel (measured), pre-staged pools at ~0.3 s.
     With `reverb`, mixing goes through DNSTrainDataset + the synthetic
-    RIR bank at reverb_proportion 0.5 (run the `reverb` stage first)."""
+    RIR bank at reverb_proportion 0.5 (run the `reverb` stage first).
+    `corpus3x` restricts the clean list to the 3x subset (base + 0.9x/1.1x,
+    excluding the wide 0.8x/1.25x copies) — the round-3 reverb-only arm's
+    corpus, so that arm can be retrained under the recalibrated PESQ."""
     import jax
     from generative_audio_tpu.data import AudioDataset, AudioDataSetConfig
+    clean_scp = ROOT / "train" / "clean.scp"
+    if corpus3x:
+        assert reverb, "corpus3x is defined for the scp (reverb) regime"
+        files = [l for l in clean_scp.read_text().splitlines()
+                 if "_sp08" not in l and "_sp125" not in l]
+        clean_scp = ROOT / "train" / "clean_3x.scp"
+        clean_scp.write_text("\n".join(files) + "\n")
+        print(f"corpus3x: {len(files)} clean clips")
     if reverb:
         from generative_audio_tpu.data import DNSTrainConfig, DNSTrainDataset
         dataset = DNSTrainDataset(DNSTrainConfig(
-            clean_dataset=str(ROOT / "train" / "clean.scp"),
+            clean_dataset=str(clean_scp),
             noise_dataset=str(ROOT / "train" / "noise.scp"),
             rir_dataset=str(ROOT / "train" / "rir" / "rir.scp"),
             reverb_proportion=0.5, snr_range=(-5, int(snr_max)),
@@ -331,7 +435,8 @@ def stage_mixture_pool(n_batches: int, batch: int = 18, seed: int = 1,
 
 def train(epochs: int, tag: str = "", pool: int = 200,
           pool_seed: int = 1, reverb: bool = False,
-          snr_max: float = 20.0, probe_weight: float = 0.0):
+          snr_max: float = 20.0, probe_weight: float = 0.0,
+          corpus3x: bool = False, seed: int = 0):
     import jax
     from generative_audio_tpu.train import EnhanceTrainConfig, EnhanceTrainer
     from generative_audio_tpu.utils.tracking import ExperimentTracker
@@ -340,7 +445,7 @@ def train(epochs: int, tag: str = "", pool: int = 200,
     cfg = EnhanceTrainConfig()       # full-size FullSubNet+ (512/384, G=2)
     t0 = time.time()
     loader = stage_mixture_pool(pool, seed=pool_seed, reverb=reverb,
-                                snr_max=snr_max)
+                                snr_max=snr_max, corpus3x=corpus3x)
     print(f"staged {pool} mixture batches (seed {pool_seed}, "
           f"snr -5..{snr_max:g}) in {time.time() - t0:.0f}s")
     val_ds = PairFileDataset(ROOT / "val")
@@ -350,7 +455,7 @@ def train(epochs: int, tag: str = "", pool: int = 200,
     tracker = ExperimentTracker(str(ARTIFACTS / "runs"),
                                 f"enhance_quality{tag}")
     trainer = EnhanceTrainer(cfg, checkpoint_dir=str(ckpt_dir),
-                             tracker=tracker)
+                             tracker=tracker, seed=seed)
     start_step = 0
     if trainer.restore_latest():
         start_step = int(trainer.state.step)
@@ -358,9 +463,11 @@ def train(epochs: int, tag: str = "", pool: int = 200,
               f"best composite {trainer.best_score:.4f}")
 
     t0 = time.time()
+    # probe is ALWAYS evaluated and recorded (probe_history / tracker);
+    # it drives selection only when probe_weight > 0
     trainer.train(loader, epochs=epochs, val_dataset=val_ds,
                   validation_interval=4, log=print,
-                  probe_dataset=val_hard_ds if probe_weight > 0 else None,
+                  probe_dataset=val_hard_ds,
                   probe_weight=probe_weight)
     dt = time.time() - t0
     steps = int(trainer.state.step)
@@ -415,6 +522,7 @@ def train(epochs: int, tag: str = "", pool: int = 200,
         "loss_last_epoch": trainer.loss_history[-1],
         "best_composite": trainer.best_score,
         "val_history": trainer.val_history,
+        "probe_history": trainer.probe_history,
         "final_best_model": final,
         "noisy_baseline": baseline(val_ds),
         "final_best_model_hard": final_hard,
@@ -423,6 +531,8 @@ def train(epochs: int, tag: str = "", pool: int = 200,
         "reverb_train": reverb,
         "snr_max": snr_max,
         "probe_weight": probe_weight,
+        "corpus3x": corpus3x,
+        "init_seed": seed,
     }
     if final_reverb is not None:
         summary["final_best_model_reverb"] = final_reverb
@@ -864,6 +974,8 @@ def report():
             ]
             if ncpw_path.exists():
                 lines += ["", np_.get("report_verdict", "")]
+    for sweep_md in sorted(ARTIFACTS.glob("selection_sweep_section*.md")):
+        lines += ["", sweep_md.read_text().rstrip()]
     audit_md = ARTIFACTS / "pesq_family_audit.md"
     if audit_md.exists():
         lines += ["", audit_md.read_text().rstrip()]
@@ -947,11 +1059,220 @@ def finetune(epochs: int, lr: float = 2e-5, base_tag: str = "",
     print(json.dumps(summary, indent=2, default=float))
 
 
+# ------------------------------------------------------------------ sweep --
+def _tag_validation_rows(tag: str):
+    """(step -> (composite, probe_composite)) from the tagged run's tracker
+    scalars (every resume segment merged; later rows win)."""
+    rows = {}
+    base = ARTIFACTS / "runs" / "runs"
+    run_dirs = sorted(base.glob(f"enhance_quality{tag}")) + \
+        sorted(base.glob(f"enhance_quality{tag}_*"))
+    for rd in run_dirs:
+        scal = rd / "scalars.jsonl"
+        if not scal.exists():
+            continue
+        for line in scal.read_text().splitlines():
+            d = json.loads(line)
+            if "composite" in d and "probe_composite" in d:
+                rows[int(d["_step"])] = (float(d["composite"]),
+                                         float(d["probe_composite"]))
+    return dict(sorted(rows.items()))
+
+
+def sweep(tag: str, weights=(0.0, 0.1, 0.3, 0.5), dense: bool = False):
+    """Post-hoc probe-weight selection sweep over ONE trajectory's step
+    checkpoints (round-5, VERDICT r4 item 1).
+
+    In-loop probe-inclusive selection (round 4) compared arms across
+    trajectories, confounding the policy with training noise. Here the
+    policy is isolated: the tagged run's step checkpoints are fixed, and
+    for each probe_weight w the selected checkpoint is
+    argmax (1-w)*val_composite + w*probe_composite over validation points
+    (or over EVERY step checkpoint with --dense). Each selected checkpoint
+    is then scored on val, the selection probe (val_hard), and the
+    SELECTION-BLIND probe2 (`probe2` stage) — probe2 gives the unbiased
+    generalization estimate the round-4 report could not.
+    """
+    import jax
+    from generative_audio_tpu.train import EnhanceTrainConfig, EnhanceTrainer
+    from generative_audio_tpu.train.checkpoint import CheckpointManager
+
+    ckpt_dir = ROOT / f"ckpt{tag}"
+    mgr = CheckpointManager(str(ckpt_dir))
+    steps_avail = sorted(int(p.name.split("_")[1])
+                         for p in ckpt_dir.glob("step_*"))
+    assert steps_avail, f"no step checkpoints under {ckpt_dir}"
+    print(f"backend={jax.default_backend()}; {len(steps_avail)} step "
+          f"checkpoints under ckpt{tag}")
+
+    cache_path = ARTIFACTS / f"sweep_cache{tag}.json"
+    cache = (json.loads(cache_path.read_text())
+             if cache_path.exists() else {})
+
+    datasets = {"val": PairFileDataset(ROOT / "val"),
+                "hard": PairFileDataset(ROOT / "val_hard")}
+    if (ROOT / "val_probe2" / "noisy").exists():
+        datasets["probe2"] = PairFileDataset(ROOT / "val_probe2")
+    if (ROOT / "val_reverb" / "noisy").exists():
+        datasets["reverb"] = PairFileDataset(ROOT / "val_reverb")
+
+    trainer = EnhanceTrainer(EnhanceTrainConfig())
+    template = {"params": trainer.state.params}
+
+    def score(step: int, ds_names, metrics):
+        """Validate checkpoint `step` on the named datasets (cached)."""
+        key = str(step)
+        entry = cache.setdefault(key, {})
+        todo = [n for n in ds_names
+                if n not in entry
+                or any(m not in entry[n] for m in metrics)]
+        if not todo:
+            return entry
+        restored = mgr.restore(f"step_{step:08d}", template, partial=True)
+        assert restored is not None, step
+        trainer.state = trainer.state.replace(params=restored["params"])
+        if getattr(trainer, "_validator", None) is None:
+            trainer.validate(datasets["val"], max_items=1)
+        trainer._validator.metric_names = list(metrics)
+        for name in todo:
+            ds = datasets[name]
+            means = trainer.validate(ds, max_items=len(ds))
+            entry[name] = {**entry.get(name, {}), **means}
+            print(f"  step {step} {name}: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in means.items()
+                if isinstance(v, float)))
+        cache_path.write_text(json.dumps(cache, indent=1, default=float))
+        return entry
+
+    # 1. the selection curve: recorded validation points, or every step
+    #    checkpoint when dense
+    curve = {}
+    if dense:
+        for step in steps_avail:
+            e = score(step, ("val", "hard"), ("STOI", "WB_PESQ", "SI_SDR"))
+            curve[step] = (e["val"]["composite"], e["hard"]["composite"])
+    else:
+        curve = _tag_validation_rows(tag)
+        curve = {s: cp for s, cp in curve.items() if s in set(steps_avail)}
+    assert curve, "no validation points with probe_composite recorded"
+    print(f"selection curve over {len(curve)} points")
+
+    # 2. select per weight, final-score selected checkpoints fully
+    full = ("STOI", "SI_SDR", "WB_PESQ", "NB_PESQ")
+    selections = {}
+    for w in weights:
+        sel = max(curve, key=lambda s: (1 - w) * curve[s][0]
+                  + w * curve[s][1])
+        entry = score(sel, tuple(datasets), full)
+        selections[f"{w:g}"] = {
+            "selected_step": sel,
+            "selection_value": (1 - w) * curve[sel][0] + w * curve[sel][1],
+            "val_composite_at_selection": curve[sel][0],
+            "probe_composite_at_selection": curve[sel][1],
+            "final": {n: entry[n] for n in datasets},
+        }
+        print(f"w={w:g}: step {sel} "
+              f"(val {curve[sel][0]:.4f}, probe {curve[sel][1]:.4f})")
+
+    # noisy baselines for the probe sets (host metrics)
+    from generative_audio_tpu.eval.metrics import SI_SDR, STOI, WB_PESQ
+    from generative_audio_tpu.eval.pesq import PesqError
+
+    def baseline(ds):
+        vals = {"SI_SDR": [], "STOI": [], "WB_PESQ": []}
+        for i in range(len(ds)):
+            noisy, clean = ds[i]
+            vals["SI_SDR"].append(SI_SDR(clean, noisy))
+            vals["STOI"].append(STOI(clean, noisy))
+            try:
+                vals["WB_PESQ"].append(WB_PESQ(clean, noisy))
+            except PesqError:
+                pass
+        return {k: (float(np.mean(v)) if v else None)
+                for k, v in vals.items()}
+
+    baselines = {n: baseline(ds) for n, ds in datasets.items()}
+
+    out = {
+        "tag": tag, "dense": dense,
+        "weights": list(weights),
+        "curve": {str(s): list(cp) for s, cp in sorted(curve.items())},
+        "selections": selections,
+        "noisy_baselines": baselines,
+        "n_checkpoints": len(steps_avail),
+    }
+    (ARTIFACTS / f"selection_sweep{tag}.json").write_text(
+        json.dumps(out, indent=2, default=float))
+    _render_sweep_section(out)
+    print(json.dumps({w: {"step": v["selected_step"],
+                          "probe2_SI_SDR":
+                          v["final"].get("probe2", {}).get("SI_SDR")}
+                      for w, v in selections.items()}, default=float))
+
+
+def _render_sweep_section(out):
+    """Standing REPORT section for the post-hoc selection sweep (the
+    pesq_family_audit.md pattern: a standalone artifact report() appends,
+    so a re-render never drops it)."""
+    tag = out["tag"]
+    sel = out["selections"]
+    has_p2 = any("probe2" in v["final"] for v in sel.values())
+    lines = [
+        f"## Post-hoc probe-weight selection sweep (round 5, arm `{tag}`)",
+        "",
+        f"One trajectory ({out['n_checkpoints']} step checkpoints, "
+        "selection curve "
+        + ("re-scored densely over every checkpoint" if out["dense"]
+           else "from the recorded validation points")
+        + "); for each probe weight w the checkpoint maximizing "
+        "(1-w)*val + w*probe composite is selected POST HOC, isolating "
+        "the selection policy from training noise (the round-4 in-loop "
+        "arms compared across trajectories). `probe` = val_hard "
+        "(brown/clicks/chirp — IN the criterion for w>0); `probe2` = the "
+        "selection-BLIND set (mod_babble/impulse_train/sweep_band, "
+        "`probe2` stage) scored only on final checkpoints — the unbiased "
+        "generalization estimate round 4 lacked.",
+        "",
+        "| w | step | val composite | val SI-SDR | val STOI | "
+        "hard SI-SDR | hard STOI | probe2 SI-SDR | probe2 STOI | "
+        "probe2 WB-PESQ |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for w, v in sel.items():
+        f_ = v["final"]
+        p2 = f_.get("probe2", {})
+        lines.append(
+            f"| {w} | {v['selected_step']} | "
+            f"{f_['val']['composite']:.4f} | {f_['val']['SI_SDR']:.2f} | "
+            f"{f_['val']['STOI']:.4f} | {f_['hard']['SI_SDR']:.2f} | "
+            f"{f_['hard']['STOI']:.4f} | "
+            + (f"{p2['SI_SDR']:.2f} | {p2['STOI']:.4f} | "
+               f"{p2['WB_PESQ']:.3f} |" if p2 else "n/a | n/a | n/a |"))
+    if has_p2 and "probe2" in out["noisy_baselines"]:
+        b = out["noisy_baselines"]["probe2"]
+        lines += [
+            "",
+            f"Noisy-input probe2 baseline: SI-SDR {b['SI_SDR']:.2f} dB / "
+            f"STOI {b['STOI']:.4f} / WB-PESQ "
+            + (f"{b['WB_PESQ']:.3f}." if b.get("WB_PESQ") else "n/a."),
+        ]
+    curve = {int(s): v for s, v in out["curve"].items()}
+    steps = sorted(curve)
+    lines += [
+        "",
+        "Selection curve (step: val/probe composite): "
+        + ", ".join(f"{s}: {curve[s][0]:.4f}/{curve[s][1]:.4f}"
+                    for s in steps),
+    ]
+    (ARTIFACTS / f"selection_sweep_section{tag}.md").write_text(
+        "\n".join(lines) + "\n")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "stage", choices=["corpus", "augment", "perturb", "reverb", "train",
-                          "finetune", "report"])
+        "stage", choices=["corpus", "augment", "perturb", "reverb", "probe2",
+                          "train", "finetune", "sweep", "report"])
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--pool", type=int, default=200,
                         help="staged mixture batches for the train stage")
@@ -975,6 +1296,16 @@ def main():
                         help="train: weight of the unseen-noise probe in "
                         "best-model selection (0 = reference in-"
                         "distribution composite)")
+    parser.add_argument("--corpus3x", action="store_true",
+                        help="train --reverb: restrict clean clips to the "
+                        "3x subset (round-3 reverb-only arm)")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="train: model init seed")
+    parser.add_argument("--weights", default="0,0.1,0.3,0.5",
+                        help="sweep: probe_weight grid")
+    parser.add_argument("--dense", action="store_true",
+                        help="sweep: score EVERY step checkpoint on "
+                        "val+probe (not just recorded validation points)")
     args = parser.parse_args()
     if args.stage == "corpus":
         build_corpus()
@@ -987,10 +1318,17 @@ def main():
         perturb_speech(factors)
     elif args.stage == "reverb":
         reverb_corpus()
+    elif args.stage == "probe2":
+        build_probe2()
+    elif args.stage == "sweep":
+        sweep(args.tag, weights=tuple(float(w) for w in
+                                      args.weights.split(",")),
+              dense=args.dense)
     elif args.stage == "train":
         train(args.epochs, args.tag, pool=args.pool,
               pool_seed=args.pool_seed, reverb=args.reverb,
-              snr_max=args.snr_max, probe_weight=args.probe_weight)
+              snr_max=args.snr_max, probe_weight=args.probe_weight,
+              corpus3x=args.corpus3x, seed=args.seed)
     elif args.stage == "finetune":
         finetune(args.epochs, lr=args.lr,
                  base_tag=args.base_tag,

@@ -185,13 +185,16 @@ def put_pool(batches):
 
 
 # ------------------------------------------------------------ restoration --
-def train_restoration(steps: int, dropout: float = 0.2, tag: str = ""):
+def train_restoration(steps: int, dropout: float = 0.2, tag: str = "",
+                      fresh: bool = False, ema_decay: float = 0.0,
+                      weight_decay: float = 0.0):
     import jax
     from generative_audio_tpu.models.nppc_model import UNetModelConfig
     from generative_audio_tpu.train import (
         RestorationTrainConfig, RestorationTrainer)
 
-    print(f"backend={jax.default_backend()}, dropout={dropout}, tag={tag!r}")
+    print(f"backend={jax.default_backend()}, dropout={dropout}, tag={tag!r},"
+          f" ema={ema_decay:g}, wd={weight_decay:g}")
     t0 = time.time()
     train_pool = put_pool(stage_batches("train", N_TRAIN_POOL, seed=1))
     val_pool = put_pool(stage_batches("val", N_VAL_POOL, seed=2))
@@ -202,13 +205,21 @@ def train_restoration(steps: int, dropout: float = 0.2, tag: str = ""):
         model=UNetModelConfig(in_channels=1, out_channels=1,
                               dropout=dropout),
         num_freqs=128, num_frames=256,
-        log_interval=100, save_interval=1000)
+        log_interval=100, save_interval=1000,
+        ema_decay=ema_decay,
+        optimizer=("adamw" if weight_decay > 0 else "Adam"),
+        weight_decay=weight_decay)
     trainer = RestorationTrainer(cfg, checkpoint_dir=str(REST_CKPT) + tag)
     start = 0
-    if trainer.restore_latest():
+    if not fresh and trainer.restore_latest():
         start = int(trainer.state.step)
         print(f"resumed from step {start} (outage-tolerant restart)")
     seg = max(steps - start, 0)
+    if seg == 0:
+        print(f"nothing to train (checkpoint already at step {start} >= "
+              f"{steps}); history file left untouched — use --fresh for a "
+              "from-scratch rerun")
+        return
     t0 = time.time()
     trainer.train(train_pool, n_steps=seg, val_loader=val_pool, log=print)
     dt = time.time() - t0
@@ -225,6 +236,9 @@ def train_restoration(steps: int, dropout: float = 0.2, tag: str = ""):
         "ms_per_step": 1000 * dt / max(seg, 1),
         "backend": jax.default_backend(),
         "dropout": dropout,
+        "ema_decay": ema_decay,
+        "weight_decay": weight_decay,
+        "best_val_is_ema": ema_decay > 0,
         "n_train_sources": len(list((CORPUS / "train").rglob("*.flac"))),
     }
     WORK.mkdir(parents=True, exist_ok=True)
@@ -240,7 +254,8 @@ def train_restoration(steps: int, dropout: float = 0.2, tag: str = ""):
 
 # ------------------------------------------------------------------- nppc --
 def train_nppc(steps: int, dropout: float = 0.2, rest_tag: str = "",
-               tag: str = ""):
+               tag: str = "", fresh: bool = False,
+               objective_variant: str = "standard"):
     import jax
     from generative_audio_tpu.train import (
         RestorationTrainConfig, RestorationTrainer, CheckpointManager)
@@ -283,14 +298,20 @@ def train_nppc(steps: int, dropout: float = 0.2, rest_tag: str = "",
             pc_wrapper=AudioInpaintingPCWrapperConfig(
                 in_channels=2, out_channels=5, n_dirs=5)),
         num_freqs=128, num_frames=256,
-        second_moment_loss_grace=500, log_interval=100, save_interval=1000)
+        second_moment_loss_grace=500, log_interval=100, save_interval=1000,
+        objective_variant=objective_variant)
     trainer = NPPCInpaintingTrainer(cfg, restoration_variables=rest_vars,
                                     checkpoint_dir=str(NPPC_CKPT) + tag)
     start = 0
-    if trainer.restore_latest():
+    if not fresh and trainer.restore_latest():
         start = int(trainer.state.step)
         print(f"resumed from step {start} (outage-tolerant restart)")
     seg = max(steps - start, 0)
+    if seg == 0:
+        print(f"nothing to train (checkpoint already at step {start} >= "
+              f"{steps}); history file left untouched — use --fresh for a "
+              "from-scratch rerun")
+        return
     t0 = time.time()
     trainer.train(train_pool, n_steps=seg, val_loader=val_pool, log=print)
     dt = time.time() - t0
@@ -307,6 +328,7 @@ def train_nppc(steps: int, dropout: float = 0.2, rest_tag: str = "",
         "backend": jax.default_backend(),
         "dropout": dropout,
         "restoration_tag": rest_tag,
+        "objective_variant": objective_variant,
     }
     ARTIFACTS.mkdir(parents=True, exist_ok=True)
     for root in (WORK, ARTIFACTS):
@@ -437,6 +459,10 @@ def _overfit_rows():
         h = _history(name)
         arm = (name[len("restoration_history"):-len(".json")]
                or "r3 3000-step")
+        if h.get("ema_decay"):
+            arm += f" ema{h['ema_decay']:g}"
+        if h.get("weight_decay"):
+            arm += f" wd{h['weight_decay']:g}"
         tr = float(np.mean(h["train_loss"][-100:]))
         va = float(h["final_val_loss"])
         bv = h.get("best_val_loss")
@@ -601,15 +627,30 @@ def main():
                         help="suffix for ckpt dir + history json")
     parser.add_argument("--rest_tag", default="",
                         help="train-nppc: tag of the restoration ckpt")
+    parser.add_argument("--fresh", action="store_true",
+                        help="train stages: ignore an existing checkpoint "
+                        "and train from scratch")
+    parser.add_argument("--ema", type=float, default=0.0,
+                        help="train-restoration: EMA decay (reference "
+                        "NetWrapper ema, nppc/auxil.py:370-378); val + "
+                        "best-checkpoint selection use the EMA params")
+    parser.add_argument("--wd", type=float, default=0.0,
+                        help="train-restoration: AdamW weight decay")
+    parser.add_argument("--objective", default="base_step",
+                        choices=["base_step", "mc_pca_aligned"],
+                        help="train-nppc: NPPC objective variant "
+                        "(mc_pca_aligned = reference base_step2)")
     args = parser.parse_args()
     if args.stage == "corpus":
         build_corpus(augmented=args.augmented)
     elif args.stage == "train-restoration":
         train_restoration(args.steps or 3000, dropout=args.dropout,
-                          tag=args.tag)
+                          tag=args.tag, fresh=args.fresh,
+                          ema_decay=args.ema, weight_decay=args.wd)
     elif args.stage == "train-nppc":
         train_nppc(args.steps or 2000, dropout=args.dropout,
-                   rest_tag=args.rest_tag, tag=args.tag)
+                   rest_tag=args.rest_tag, tag=args.tag, fresh=args.fresh,
+                   objective_variant=args.objective)
     elif args.stage == "validate":
         validate(args.samples, dropout=args.dropout, tag=args.tag)
     elif args.stage == "report":

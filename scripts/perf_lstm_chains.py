@@ -63,6 +63,10 @@ def _chains_bwd_kernel(n_chains, gx_ref, hprev_ref, c_ref, cprev_ref,
 
     hsz = whh_ref.shape[0]
     block_b = gx_ref.shape[1]
+    # a non-dividing chain count would silently drop the tail rows of the
+    # block — the mis-tile class the ops/pallas_lstm.py docstring warns
+    # against; fail loudly instead
+    assert block_b % n_chains == 0, (block_b, n_chains)
     cb = block_b // n_chains
     sls = [slice(k * cb, (k + 1) * cb) for k in range(n_chains)]
 

@@ -16,6 +16,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       str(Path.home() / ".jax_cache"))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon TPU plugin force-appends itself at import time; honoring a
+    # cpu request needs the config pinned explicitly (tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,7 +47,15 @@ class _DS:
 
 def main():
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
-    config = FullSubNetPlusConfig()
+    # PS_TINY=1 + JAX_PLATFORMS=cpu: host-floor regime (see
+    # perf_streaming.py) — tiny model, in-process backend, so the wall
+    # clock is the serving loop's own overhead, not FLOPs or the tunnel.
+    if os.environ.get("PS_TINY"):
+        config = FullSubNetPlusConfig(
+            fb_model_hidden_size=32, sb_model_hidden_size=16,
+            sb_num_neighbors=2)
+    else:
+        config = FullSubNetPlusConfig()
     model = FullSubNetPlus(config, compute_dtype=jnp.bfloat16)
     dummy = jnp.zeros((1, 1, config.num_freqs, 16), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy,

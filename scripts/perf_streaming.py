@@ -21,6 +21,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       str(Path.home() / ".jax_cache"))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon TPU plugin force-appends itself at import time; honoring a
+    # cpu request needs the config pinned explicitly (tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,7 +42,18 @@ FEED = int(os.environ.get("PS_FEED_MS", "100")) * SR // 1000  # samples/feed
 
 def main():
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
-    config = FullSubNetPlusConfig()
+    # PS_TINY=1: shrink the model so chunk compute is negligible and the
+    # numbers isolate the FRAMEWORK's per-chunk overhead (dispatch,
+    # crossfade, buffering). Run with JAX_PLATFORMS=cpu for the
+    # tunnel-free host-floor measurement (docs/PERF.md) — the in-process
+    # CPU backend has no transfer/dispatch tunnel cost, so what remains
+    # is the serving loop itself.
+    if os.environ.get("PS_TINY"):
+        config = FullSubNetPlusConfig(
+            fb_model_hidden_size=32, sb_model_hidden_size=16,
+            sb_num_neighbors=2)
+    else:
+        config = FullSubNetPlusConfig()
     model = FullSubNetPlus(config, compute_dtype=jnp.bfloat16)
     dummy = jnp.zeros((1, 1, config.num_freqs, 16), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy,

@@ -75,6 +75,51 @@ def test_train_cli_restoration_validation_block(tmp_path, corpus):
     assert (tmp_path / "ckpt" / "best_score.json").exists()
 
 
+def test_train_cli_enhance_validation_probe_block(tmp_path, corpus):
+    """The enhance line's `validation:` block wires fixed pair dirs into
+    in-loop best-model selection, with probe_dir/probe_weight as the
+    promoted probe-inclusive criterion (round 5): best_score.json must
+    record the criterion it was selected under."""
+    clean_dir, noise_dir = corpus
+    rng = np.random.default_rng(3)
+    val = tmp_path / "val"
+    (val / "noisy").mkdir(parents=True)
+    (val / "clean").mkdir(parents=True)
+    x = rng.standard_normal(16000).astype(np.float32) * 0.1
+    write_wav(val / "clean" / "v0.wav", x, 16000)
+    write_wav(val / "noisy" / "v0.wav",
+              x + rng.standard_normal(16000).astype(np.float32) * 0.03,
+              16000)
+    cfg = {
+        "line": "enhance",
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "train": {
+            "model": {"num_freqs": 32, "sb_num_neighbors": 2,
+                      "fb_model_hidden_size": 16,
+                      "sb_model_hidden_size": 8,
+                      # batch 2 in this test; drop_band needs B > groups
+                      "num_groups_in_drop_band": 1},
+            "n_fft": 62, "hop_length": 32, "win_length": 62,
+            "compute_dtype": "float32",
+        },
+        "data": {
+            "clean_path": str(clean_dir), "noisy_path": str(noise_dir),
+            "sub_sample_length_seconds": 0.5,
+        },
+        "validation": {"val_dir": str(val), "probe_dir": str(val),
+                       "probe_weight": 0.3, "validation_interval": 1},
+        "dataloader": {"global_batch_size": 2, "num_workers": 2},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from generative_audio_tpu.cli.train import main
+    main(["-C", str(cfg_path), "--epochs", "1"])
+    meta = json.loads((tmp_path / "ckpt" / "best_score.json").read_text())
+    assert meta["probe_weight"] == pytest.approx(0.3)
+    assert "composite" in meta
+
+
 def test_inference_cli(tmp_path, corpus):
     clean_dir, noise_dir = corpus
     # build a tiny model checkpoint

@@ -97,6 +97,66 @@ def test_enhance_probe_inclusive_selection(tmp_path, rng):
     assert blended["score"] == pytest.approx(0.5 * 0.50 + 0.5 * 0.90)
 
 
+def test_enhance_probe_recorded_at_zero_weight(tmp_path, rng):
+    """A probe_dataset with probe_weight=0 is evaluated and RECORDED
+    (probe_history) but never drives selection — the post-hoc-sweep
+    regime (round 5): selection stays the reference's in-distribution
+    composite while every validation point carries the probe score."""
+    clean = rng.standard_normal((4, 2048)).astype(np.float32)
+    noisy = clean + 0.3 * rng.standard_normal((4, 2048)).astype(np.float32)
+    loader = [(noisy, clean)]
+    script = {"val": [0.50, 0.60], "probe": [0.90, 0.20]}
+    cfg = _enhance_cfg()
+    trainer = T.EnhanceTrainer(cfg, checkpoint_dir=tmp_path / "c")
+    calls = {"n": 0}
+
+    def fake_validate(dataset, max_items=10):
+        kind = "val" if dataset == "VAL" else "probe"
+        idx = calls["n"] // 2
+        calls["n"] += 1
+        return {"composite": script[kind][min(idx, 1)]}
+
+    trainer.validate = fake_validate
+    trainer.train(loader, epochs=2, val_dataset="VAL",
+                  probe_dataset="PROBE", probe_weight=0.0,
+                  log=lambda *a: None)
+    assert [p for _, p in trainer.probe_history] == [0.90, 0.20]
+    import json
+    meta = json.loads((tmp_path / "c" / "best_score.json").read_text())
+    assert meta["step"] == 2 and meta["probe_weight"] == 0.0
+    assert meta["score"] == pytest.approx(0.60)   # pure val composite
+
+
+def test_enhance_selection_criterion_reset_on_resume(tmp_path, rng):
+    """A resume that changes probe_weight must not compare a blended
+    best score against plain composites (incommensurate scales): the
+    trainer warns and resets best-model tracking."""
+    clean = rng.standard_normal((4, 2048)).astype(np.float32)
+    noisy = clean + 0.3 * rng.standard_normal((4, 2048)).astype(np.float32)
+    loader = [(noisy, clean)]
+    cfg = _enhance_cfg()
+    d = tmp_path / "c"
+    trainer = T.EnhanceTrainer(cfg, checkpoint_dir=d)
+    trainer.validate = lambda ds, max_items=10: {"composite": 0.9}
+    trainer.train(loader, epochs=1, val_dataset="VAL",
+                  probe_dataset="PROBE", probe_weight=0.5,
+                  log=lambda *a: None)
+    assert trainer.best_score == pytest.approx(0.9)   # blended (both 0.9)
+
+    resumed = T.EnhanceTrainer(cfg, checkpoint_dir=d)
+    assert resumed.restore_latest()
+    assert resumed.best_score == pytest.approx(0.9)
+    resumed.validate = lambda ds, max_items=10: {"composite": 0.5}
+    with pytest.warns(UserWarning, match="incommensurate"):
+        resumed.train(loader, epochs=1, val_dataset="VAL",
+                      log=lambda *a: None)
+    # best was reset, so the (lower) plain composite claimed best/
+    import json
+    meta = json.loads((d / "best_score.json").read_text())
+    assert meta["score"] == pytest.approx(0.5)
+    assert meta["probe_weight"] == 0.0
+
+
 def _inpaint_batch(rng, b=2, f=32, t=64):
     clean_spec = rng.standard_normal((b, 2, f, t)).astype(np.float32)
     mask = np.ones((b, t), np.float32)
@@ -125,6 +185,38 @@ def test_restoration_trainer(tmp_path, rng):
     assert trainer.restore_latest()
     assert int(trainer.state.step) == 6
     assert trainer.best_val == pytest.approx(best_before)
+
+
+def test_restoration_trainer_ema_weight_decay(tmp_path, rng):
+    """EMA + AdamW weight decay (reference NetWrapper, nppc/auxil.py:
+    316-322, 370-378): the EMA shadow is a distinct buffer (donation-safe),
+    validation/selection run on it, best/ stores it, and resume restores
+    it alongside params."""
+    cfg = T.RestorationTrainConfig(
+        model=UNetModelConfig(in_channels=1, out_channels=1, dropout=0.2),
+        num_freqs=32, num_frames=64, log_interval=2, save_interval=4,
+        ema_decay=0.9, optimizer="adamw", weight_decay=1e-4)
+    trainer = T.RestorationTrainer(cfg, checkpoint_dir=tmp_path / "r")
+    batch = _inpaint_batch(rng)
+    trainer.train([batch] * 3, n_steps=6, val_loader=[batch],
+                  log=lambda *a: None)
+    p = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    e = jax.tree_util.tree_leaves(trainer.state.ema_params)[0]
+    assert not np.allclose(np.asarray(p), np.asarray(e))
+    meta = trainer.ckpt.best_meta()
+    assert meta["ema_decay"] == pytest.approx(0.9)
+    # best/ holds the EMA params at the val-minimum step
+    restored = trainer.ckpt.restore(
+        "best", {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}, partial=True)
+    assert restored is not None
+    # resume restores the EMA shadow
+    trainer2 = T.RestorationTrainer(cfg, checkpoint_dir=tmp_path / "r")
+    assert trainer2.restore_latest()
+    assert trainer2.state.ema_params is not None
+    e2 = jax.tree_util.tree_leaves(trainer2.state.ema_params)[0]
+    p2 = jax.tree_util.tree_leaves(trainer2.state.params)[0]
+    assert not np.allclose(np.asarray(p2), np.asarray(e2))
 
 
 def test_nppc_inpainting_trainer_freezes_restoration(rng):
