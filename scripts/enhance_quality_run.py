@@ -974,6 +974,9 @@ def report():
             ]
             if ncpw_path.exists():
                 lines += ["", np_.get("report_verdict", "")]
+    lb_md = ARTIFACTS / "line_best_r5_section.md"
+    if lb_md.exists():
+        lines += ["", lb_md.read_text().rstrip()]
     for sweep_md in sorted(ARTIFACTS.glob("selection_sweep_section*.md")):
         lines += ["", sweep_md.read_text().rstrip()]
     audit_md = ARTIFACTS / "pesq_family_audit.md"
@@ -1256,6 +1259,53 @@ def _render_sweep_section(out):
             f"STOI {b['STOI']:.4f} / WB-PESQ "
             + (f"{b['WB_PESQ']:.3f}." if b.get("WB_PESQ") else "n/a."),
         ]
+    # data-driven verdict
+    base = sel.get("0") or next(iter(sel.values()))
+    same_w = [w for w, v in sel.items()
+              if v["selected_step"] == base["selected_step"]]
+    diff = [(w, v) for w, v in sel.items()
+            if v["selected_step"] != base["selected_step"]]
+    verdict = [
+        "",
+        f"**Verdict.** Weights {{{', '.join(same_w)}}} all select step "
+        f"{base['selected_step']} — on a fixed trajectory the blended "
+        "criterion only changes the pick once the probe term can outvote "
+        "the val composite.",
+    ]
+    for w, v in diff:
+        f0, f1 = base["final"], v["final"]
+        verdict.append(
+            f"w={w} moves the pick to step {v['selected_step']}: "
+            f"IN-CRITERION probe composite "
+            f"{f0['hard']['composite']:.4f} -> "
+            f"{f1['hard']['composite']:.4f} "
+            f"(hard SI-SDR {f0['hard']['SI_SDR']:.2f} -> "
+            f"{f1['hard']['SI_SDR']:.2f} dB) at val composite "
+            f"{f0['val']['composite']:.4f} -> "
+            f"{f1['val']['composite']:.4f}; on the SELECTION-BLIND "
+            "probe2 the same swap changes composite "
+            + (f"{f0['probe2']['composite']:.4f} -> "
+               f"{f1['probe2']['composite']:.4f} and SI-SDR "
+               f"{f0['probe2']['SI_SDR']:.2f} -> "
+               f"{f1['probe2']['SI_SDR']:.2f} dB"
+               if "probe2" in f0 and "probe2" in f1 else "n/a")
+            + " — the blind probe decides whether the in-criterion "
+            "'robustness win' is generalization or selection readback.")
+    if out["dense"]:
+        curve_best = max(out["curve"].items(), key=lambda kv: kv[1][0])
+        verdict += [
+            "",
+            f"Dense scoring also tightens plain w=0 selection: the "
+            f"val-composite maximum over ALL step checkpoints is "
+            f"{curve_best[1][0]:.4f} at step {curve_best[0]} (200-step "
+            "granularity), vs the in-loop 800-step validation stride's "
+            "best — checkpoint-selection granularity is itself a lever, "
+            "though the max over ~50 noisy 8-pair evaluations carries "
+            "winner's-curse bias of roughly the curve's local scatter; "
+            "the hard/probe2 columns above are the unbiased read on the "
+            "selected checkpoint.",
+        ]
+    lines += verdict
     curve = {int(s): v for s, v in out["curve"].items()}
     steps = sorted(curve)
     lines += [
@@ -1268,11 +1318,81 @@ def _render_sweep_section(out):
         "\n".join(lines) + "\n")
 
 
+def line_best_section():
+    """Round-5 same-metric line-best A/B (VERDICT r4 weak item 2): the
+    combined arm's r4 'line best' (0.7522) vs the reverb arm spanned a PESQ
+    recalibration of ~the win's size. Settle it with every number under the
+    recalibrated metric: the r4 combined arm (`_cb`, scored post-fix), the
+    second combined trajectory (`_cbpw`, post-hoc w=0 selection from the
+    round-5 sweep), and the reverb-only 3x arm retrained this round
+    (`_rv5`). Writes the standing section report() appends."""
+    cb = json.loads((ARTIFACTS / "training_summary_cb.json").read_text())
+    rv5 = json.loads((ARTIFACTS / "training_summary_rv5.json").read_text())
+    sweep_p = ARTIFACTS / "selection_sweep_cbpw.json"
+    rows = [
+        "## Same-metric line-best A/B (round 5)",
+        "",
+        "All composites below are under the recalibrated (round-4) PESQ. "
+        "`_cb` and `_cbpw` share one config (reverb x wide-5x corpus, "
+        "SNR -5..20) across two independent trajectories; `_rv5` is the "
+        "reverb-only arm (3x corpus) retrained this round.",
+        "",
+        "| arm | config | selection | best val composite | hard SI-SDR | "
+        "hard STOI |",
+        "|---|---|---|---|---|---|",
+        f"| _cb (r4) | combined | in-loop w=0 | "
+        f"{cb['best_composite']:.4f} | "
+        f"{cb['final_best_model_hard']['SI_SDR']:.2f} | "
+        f"{cb['final_best_model_hard']['STOI']:.4f} |",
+    ]
+    cbpw0 = None
+    if sweep_p.exists():
+        sw = json.loads(sweep_p.read_text())
+        cbpw0 = sw["selections"].get("0")
+        if cbpw0:
+            f_ = cbpw0["final"]
+            rows.append(
+                f"| _cbpw (r4, 2nd trajectory) | combined | post-hoc w=0 | "
+                f"{f_['val']['composite']:.4f} | "
+                f"{f_['hard']['SI_SDR']:.2f} | {f_['hard']['STOI']:.4f} |")
+    rows.append(
+        f"| _rv5 (r5) | reverb-only 3x | in-loop w=0 | "
+        f"{rv5['best_composite']:.4f} | "
+        f"{rv5['final_best_model_hard']['SI_SDR']:.2f} | "
+        f"{rv5['final_best_model_hard']['STOI']:.4f} |")
+    verdict = [
+        "",
+        f"Verdict: the reverb-only arm retrained under the same metric "
+        f"scores {rv5['best_composite']:.4f} vs the combined arm's "
+        f"{cb['best_composite']:.4f} — the r4 'line best' win "
+        f"({cb['best_composite']:.4f} vs the reverb arm's pre-fix 0.7446) "
+        "does not survive same-metric scoring: it was the PESQ "
+        "recalibration, as the round-4 report's own caveat suspected.",
+    ]
+    if cbpw0:
+        same_cfg_spread = abs(cb["best_composite"]
+                              - cbpw0["final"]["val"]["composite"])
+        verdict += [
+            f"Two trajectories of the SAME combined config differ by "
+            f"{same_cfg_spread:.4f} composite (_cb "
+            f"{cb['best_composite']:.4f} vs _cbpw post-hoc w=0 "
+            f"{cbpw0['final']['val']['composite']:.4f}), larger than any "
+            "between-config difference in this table — the data-lever "
+            "composes saturate around composite ~0.745-0.752 at this "
+            "corpus scale, and arm-vs-arm wins below the trajectory "
+            "spread should not be claimed.",
+        ]
+    (ARTIFACTS / "line_best_r5_section.md").write_text(
+        "\n".join(rows + verdict) + "\n")
+    print("\n".join(rows + verdict))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "stage", choices=["corpus", "augment", "perturb", "reverb", "probe2",
-                          "train", "finetune", "sweep", "report"])
+                          "train", "finetune", "sweep", "linebest",
+                          "report"])
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--pool", type=int, default=200,
                         help="staged mixture batches for the train stage")
@@ -1324,6 +1444,8 @@ def main():
         sweep(args.tag, weights=tuple(float(w) for w in
                                       args.weights.split(",")),
               dense=args.dense)
+    elif args.stage == "linebest":
+        line_best_section()
     elif args.stage == "train":
         train(args.epochs, args.tag, pool=args.pool,
               pool_seed=args.pool_seed, reverb=args.reverb,
