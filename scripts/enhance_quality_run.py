@@ -1370,18 +1370,27 @@ def line_best_section():
         "recalibration, as the round-4 report's own caveat suspected.",
     ]
     if cbpw0:
-        same_cfg_spread = abs(cb["best_composite"]
-                              - cbpw0["final"]["val"]["composite"])
-        verdict += [
-            f"Two trajectories of the SAME combined config differ by "
-            f"{same_cfg_spread:.4f} composite (_cb "
-            f"{cb['best_composite']:.4f} vs _cbpw post-hoc w=0 "
-            f"{cbpw0['final']['val']['composite']:.4f}), larger than any "
-            "between-config difference in this table — the data-lever "
-            "composes saturate around composite ~0.745-0.752 at this "
-            "corpus scale, and arm-vs-arm wins below the trajectory "
-            "spread should not be claimed.",
-        ]
+        # like-for-like trajectory spread: restrict the second trajectory
+        # to the SAME in-loop selection regime (800-step validation
+        # stride) before comparing against _cb's in-loop best
+        sw = json.loads(sweep_p.read_text())
+        inloop = [v[0] for s, v in sw["curve"].items()
+                  if int(s) % 800 == 0]
+        cbpw_inloop = max(inloop) if inloop else None
+        if cbpw_inloop is not None:
+            spread = abs(cb["best_composite"] - cbpw_inloop)
+            verdict += [
+                f"Two trajectories of the SAME combined config, under the "
+                f"same in-loop selection regime, differ by {spread:.4f} "
+                f"composite (_cb {cb['best_composite']:.4f} vs _cbpw "
+                f"{cbpw_inloop:.4f}) — larger than every between-config "
+                "difference in this table. The data-lever composes "
+                "saturate around composite ~0.745-0.755 at this corpus "
+                "scale, and arm-vs-arm wins below the trajectory spread "
+                "should not be claimed. (_cbpw's table row shows its "
+                "post-hoc DENSE-selection best, 200-step granularity — "
+                "a selection lever, not a config difference.)",
+            ]
     (ARTIFACTS / "line_best_r5_section.md").write_text(
         "\n".join(rows + verdict) + "\n")
     print("\n".join(rows + verdict))
