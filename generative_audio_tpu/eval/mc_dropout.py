@@ -24,11 +24,18 @@ __all__ = ["mc_dropout_inference", "compute_pca_batch",
 
 
 def mc_dropout_inference(apply_fn: Callable, variables, masked_spec,
-                         mask, rng, n_samples: int = 50) -> jnp.ndarray:
+                         mask, rng, n_samples: int = 50,
+                         chunk_size: int = 0) -> jnp.ndarray:
     """K stochastic passes with dropout active at eval (ref utils.py:341-353).
 
     apply_fn(variables, x, mask, rngs) -> [B, 1, F, T]
     Returns [K, B, 1, F, T].
+
+    chunk_size > 0 runs the K passes as lax.map over K/chunk_size vmapped
+    chunks instead of one K-wide vmap: a full 50-wide vmap of the UNet
+    materializes all 50 passes' activations simultaneously (measured
+    37.6 GB HBM inside the mc_pca_aligned train step — an OOM on a 16 GB
+    chip); chunking bounds live activations to one chunk.
     """
     keys = jax.random.split(rng, n_samples)
 
@@ -36,7 +43,17 @@ def mc_dropout_inference(apply_fn: Callable, variables, masked_spec,
         return apply_fn(variables, masked_spec, mask,
                         rngs={"dropout": key})
 
-    return jax.vmap(one)(keys)
+    if chunk_size <= 0 or chunk_size >= n_samples:
+        return jax.vmap(one)(keys)
+    if n_samples % chunk_size != 0:
+        # largest divisor <= chunk_size keeps every pass without padding
+        chunk_size = next(c for c in range(chunk_size, 0, -1)
+                          if n_samples % c == 0)
+    # keys may be typed key arrays [K] or raw uint32 [K, 2]
+    chunked = keys.reshape(n_samples // chunk_size, chunk_size,
+                           *keys.shape[1:])
+    out = jax.lax.map(lambda ks: jax.vmap(one)(ks), chunked)
+    return out.reshape(n_samples, *out.shape[2:])
 
 
 def compute_pca_batch(outputs: jnp.ndarray, n_components: int = 5):
@@ -55,9 +72,18 @@ def compute_pca_batch(outputs: jnp.ndarray, n_components: int = 5):
     n_components = min(n_components, k)
     mean = outputs.mean(axis=0)                          # [B, D]
     centered = jnp.transpose(outputs - mean[None], (1, 0, 2))  # [B, K, D]
-    _, s, vh = jnp.linalg.svd(centered, full_matrices=False)
-    components = vh[:, :n_components, :]                 # [B, n, D]
-    singular_values = s[:, :n_components]
+    # TPU-native PCA: a direct batched SVD of [B, K, D] fails to lower on
+    # TPU for large D (the mc_pca_aligned train step crashed the remote
+    # compile helper, round 5). For K <= D the K x K Gram eigendecomposition
+    # is algebraically identical (C = U S V^T  =>  C C^T = U S^2 U^T,
+    # V^T = U^T C / S) and maps to one MXU matmul plus a tiny eigh.
+    gram = jnp.einsum("bkd,bld->bkl", centered, centered)      # [B, K, K]
+    evals, evecs = jnp.linalg.eigh(gram)                       # ascending
+    top = jnp.flip(evals[:, -n_components:], axis=1)           # [B, n]
+    vecs = jnp.flip(evecs[:, :, -n_components:], axis=2)       # [B, K, n]
+    singular_values = jnp.sqrt(jnp.clip(top, 0.0, None))
+    components = jnp.einsum("bkn,bkd->bnd", vecs, centered) \
+        / (singular_values[:, :, None] + 1e-12)                # [B, n, D]
     scaled = components * singular_values[:, :, None]
     importance = singular_values / jnp.sum(singular_values, axis=1,
                                            keepdims=True)
@@ -66,7 +92,8 @@ def compute_pca_batch(outputs: jnp.ndarray, n_components: int = 5):
 
 def calculate_unet_baseline(apply_fn: Callable, variables, masked_spec,
                             mask, rng=None, n_mc_samples: int = 50,
-                            n_components: int = 5) -> Dict[str, np.ndarray]:
+                            n_components: int = 5,
+                            mc_chunk_size: int = 0) -> Dict[str, np.ndarray]:
     """MC-dropout + PCA baseline (ref utils.py:545-648).
 
     Args:
@@ -78,7 +105,8 @@ def calculate_unet_baseline(apply_fn: Callable, variables, masked_spec,
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     preds = mc_dropout_inference(apply_fn, variables, masked_spec, mask, rng,
-                                 n_mc_samples)            # [K, B, 1, F, T]
+                                 n_mc_samples,
+                                 chunk_size=mc_chunk_size)  # [K, B, 1, F, T]
     k, b = preds.shape[:2]
     f, t = masked_spec.shape[2:]
     gap = (1.0 - mask)                                    # [B, 1, F, T]

@@ -55,6 +55,10 @@ class NPPCInpaintingTrainConfig:
     # direction to the matching MC-dropout-PCA direction)
     objective_variant: str = "base_step"
     n_mc_samples: int = 50
+    # lax.map chunk for the in-step MC passes: a 50-wide vmapped UNet
+    # inside the train step needs ~37.6 GB of simultaneous activations
+    # (measured OOM on the 16 GB chip); chunking bounds it to one chunk
+    mc_chunk_size: int = 5
 
 
 class NPPCInpaintingTrainer:
@@ -188,7 +192,12 @@ class NPPCInpaintingTrainer:
                     v, x, m, method=self.model.mc_restoration, rngs=rngs),
                 variables, masked_norm_log, mask4, mc_rng,
                 n_mc_samples=self.config.n_mc_samples,
-                n_components=self.config.model.pc_wrapper.n_dirs)
+                n_components=self.config.model.pc_wrapper.n_dirs,
+                mc_chunk_size=self.config.mc_chunk_size)
+            # fixed target: prune the 50-pass forward from the backward
+            # graph entirely (the objective stop-gradients it again)
+            baseline = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                              baseline)
             reconst_err, objective, log = nppc_objective_mc_aligned(
                 w_mat, baseline["scaled_principal_components"],
                 baseline["singular_vals"], step.astype(jnp.float32),

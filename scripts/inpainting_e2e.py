@@ -563,18 +563,25 @@ def report(tag: str = ""):
         "|---|---|---|---|---|---|---|",
         *_overfit_rows(),
         "",
-        "Sweep verdict: corpus augmentation ALONE made final val worse "
-        "(the reverb copies shift the train distribution), dropout 0.4 "
-        "is the sweep minimum (0.6 over-regularizes), and the decisive "
-        "lever is val-minimum checkpointing — masked-MSE val oscillates "
-        "2x across checkpoints, and the d4b arm's minimum (0.6854 at "
-        "step 7000) cuts the selected-checkpoint val/train ratio to "
-        "~10x from the r3 final-snapshot's 17.7x. The residual gap is "
-        "structural at this corpus scale: validation is 2 held-out "
-        "SPEAKERS x 6 utterances, so speaker-level generalization of "
-        "gap inpainting, not optimization, is the binding constraint "
-        "(no additional in-image speech exists to widen the corpus; on "
-        "a real LibriSpeech deployment the same stages apply "
+        "Sweep verdict (r4): corpus augmentation ALONE made final val "
+        "worse (the reverb copies shift the train distribution), dropout "
+        "0.4 is the sweep minimum (0.6 over-regularizes), and val-minimum "
+        "checkpointing cut the selected-checkpoint val/train ratio to "
+        "~10x from the r3 final-snapshot's 17.7x.",
+        "",
+        "Round-5 regularizer A/B (VERDICT r4 item 2 — the two untried "
+        "remedies, reference NetWrapper ema/weight_decay, "
+        "nppc/auxil.py:316-322,370-378, wired as `--ema`/`--wd`): EMA "
+        "0.999 (with the reference's 1/step warmup; validation and best/ "
+        "selection on the EMA shadow) is the decisive lever — best val "
+        "0.4257 vs the d4b arm's 0.6854 (-38%), val/train ~6.2x. AdamW "
+        "weight decay 1e-4 alone is a clear rejection (best val 1.0724, "
+        "worse than no regularizer), and composing it with EMA adds "
+        "nothing (0.4305 vs 0.4257). The remaining ~6x gap is the "
+        "corpus-scale constraint: validation is 2 held-out SPEAKERS x 6 "
+        "utterances, so speaker-level generalization of gap inpainting, "
+        "not optimization, binds (no additional in-image speech exists; "
+        "on a real LibriSpeech deployment the same stages apply "
         "unchanged).",
         "",
         "## Validation (held-out files, NPPC vs MC-dropout+PCA)",

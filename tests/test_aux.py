@@ -129,9 +129,15 @@ class TestEMA:
         state = create_train_state(params, optax.sgd(0.5), ema_decay=0.5)
         grads = {"w": jnp.ones(3)}
         state = state.apply_gradients(grads)
-        # params: 1 - 0.5 = 0.5 ; ema: 0.5*1 + 0.5*0.5 = 0.75
+        # reference warmup (auxil.py:376): decay = min(decay0, 1 - 1/step);
+        # step 1 => decay 0, the EMA is a copy of the params
         np.testing.assert_allclose(np.asarray(state.params["w"]), 0.5)
-        np.testing.assert_allclose(np.asarray(state.ema_params["w"]), 0.75)
+        np.testing.assert_allclose(np.asarray(state.ema_params["w"]), 0.5)
+        state = state.apply_gradients(grads)
+        # step 2: params 0.5 - 0.5 = 0; decay = min(0.5, 0.5) = 0.5 =>
+        # ema = 0.5*0.5 + 0.5*0 = 0.25
+        np.testing.assert_allclose(np.asarray(state.params["w"]), 0.0)
+        np.testing.assert_allclose(np.asarray(state.ema_params["w"]), 0.25)
 
     def test_ema_disabled(self):
         state = create_train_state({"w": jnp.ones(3)}, optax.sgd(0.1))
