@@ -387,7 +387,9 @@ def validate(n_samples: int, dropout: float = 0.2, tag: str = ""):
         return rest_model.apply(v, masked_norm, mask4, train=False,
                                 mc_dropout=rngs is not None, rngs=rngs)
 
-    out_dir = ARTIFACTS / "validation"
+    # per-variant output dir: round-5 validates both objective variants
+    # side by side, and a shared dir would clobber the first's JSONs
+    out_dir = ARTIFACTS / ("validation" + tag)
     out_dir.mkdir(parents=True, exist_ok=True)
     vcfg = NPPCValidatorConfig(save_dir=str(out_dir), n_mc_samples=50,
                                n_components=5)
@@ -479,10 +481,17 @@ def _overfit_rows():
 def report(tag: str = ""):
     from generative_audio_tpu.utils.report import HTMLReport
 
-    rest = _history(f"restoration_history{tag}.json")
     nppc = _history(f"nppc_history{tag}.json")
-    summary = json.loads(
-        (ARTIFACTS / "validation" / "summary.json").read_text())
+    rest = _history(f"restoration_history{tag}.json")
+    if rest is None and nppc and nppc.get("restoration_tag") is not None:
+        # the NPPC arm may wrap a differently-tagged restoration (round 5:
+        # _r5 wraps the _ema arm)
+        rest = _history(
+            f"restoration_history{nppc['restoration_tag']}.json")
+    val_dir = ARTIFACTS / ("validation" + tag)
+    if not (val_dir / "summary.json").exists():
+        val_dir = ARTIFACTS / "validation"
+    summary = json.loads((val_dir / "summary.json").read_text())
 
     rep = HTMLReport("Audio-inpainting NPPC end-to-end run")
     rep.add_scalars("Restoration training", {
@@ -610,6 +619,51 @@ def report(tag: str = ""):
         "r3 margin partly measured the restoration's overfit, not NPPC "
         "quality. NPPC still wins on every sample.",
     ]
+    std_p = ARTIFACTS / "validation_r5" / "summary.json"
+    al_p = ARTIFACTS / "validation_r5al" / "summary.json"
+    if std_p.exists() and al_p.exists():
+        std = json.loads(std_p.read_text())
+        al = json.loads(al_p.read_text())
+        h_al = _history("nppc_history_r5al.json") or {}
+        lines += [
+            "",
+            "## NPPC objective variants on-chip (round 5, VERDICT r4 "
+            "item 3)",
+            "",
+            "Both heads trained 6000 steps around the SAME (EMA, best-val "
+            "0.4257) frozen restoration: `base_step` (error-projection, "
+            "nppc_trainer.py:338-385) vs `mc_pca_aligned` (base_step2, "
+            "nppc_trainer.py:244-336 — each direction aligned to the "
+            "matching MC-dropout-PCA direction, second moment targeting "
+            "its singular value; in-step 50-pass MC baseline, "
+            "lax.map-chunked).",
+            "",
+            "| sample | std residual | aligned residual | std rmse | "
+            "aligned rmse | std min angle | aligned min angle |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for s_row, a_row in zip(std, al):
+            lines.append(
+                f"| {s_row['sample']} | {s_row['nppc_residual']:.4f} | "
+                f"{a_row['nppc_residual']:.4f} | {s_row['nppc_rmse']:.4f} "
+                f"| {a_row['nppc_rmse']:.4f} | "
+                f"{s_row['min_principal_angle']:.1f} | "
+                f"{a_row['min_principal_angle']:.1f} |")
+        s_ang = float(np.mean([r["min_principal_angle"] for r in std]))
+        a_ang = float(np.mean([r["min_principal_angle"] for r in al]))
+        s_res = float(np.mean([r["nppc_residual"] for r in std]))
+        a_res = float(np.mean([r["nppc_residual"] for r in al]))
+        lines += [
+            "",
+            f"Mean min principal angle vs the MC-PCA subspace: std "
+            f"{s_ang:.1f} deg vs aligned {a_ang:.1f} deg — alignment "
+            + ("closes" if a_ang < s_ang - 5 else "does not close")
+            + f" the subspace gap; mean residual error std {s_res:.4f} "
+            f"vs aligned {a_res:.4f} (residual measures error capture, "
+            "which the aligned objective does not optimize — the "
+            "reference keeps base_step2 experimental for the same "
+            "reason).",
+        ]
     # standing sections maintained as standalone artifacts (the
     # pesq_family_audit.md pattern) so a re-render never drops them
     vad_md = ARTIFACTS / "vad_ab_section.md"
