@@ -85,25 +85,27 @@ def stage_pool(n_batches: int, seed: int):
     return pool
 
 
-def train(steps: int, lr: float = 3e-4, enh_tag: str = ""):
+def train(steps: int, lr: float = 3e-4, enh_tag: str = "",
+          pool_n: int = 50, tag: str = ""):
     import jax
     from generative_audio_tpu.train.nppc import (
         NPPCDenoisingTrainConfig, NPPCDenoisingTrainer)
 
-    print(f"backend={jax.default_backend()}, enh_tag={enh_tag!r}")
+    print(f"backend={jax.default_backend()}, enh_tag={enh_tag!r}, "
+          f"pool={pool_n}, tag={tag!r}")
     cfg = NPPCDenoisingTrainConfig(
         model=_model_config(), learning_rate=lr,
         second_moment_loss_grace=1000,
         log_interval=50, save_interval=500)
     trainer = NPPCDenoisingTrainer(
         cfg, restoration_params=_restoration_params(enh_tag),
-        checkpoint_dir=str(CKPT), example_length=16384)
+        checkpoint_dir=str(CKPT) + tag, example_length=16384)
     if trainer.restore_latest():
         print(f"resumed from step {int(trainer.state.step)}")
     start_step = int(trainer.state.step)
     t0 = time.time()
-    pool = stage_pool(50, seed=7)
-    print(f"staged 50 batches in {time.time() - t0:.0f}s")
+    pool = stage_pool(pool_n, seed=7)
+    print(f"staged {pool_n} batches in {time.time() - t0:.0f}s")
     t0 = time.time()
     trainer.train(pool, n_steps=steps, log=print)
     dt = time.time() - t0
@@ -118,7 +120,7 @@ def train(steps: int, lr: float = 3e-4, enh_tag: str = ""):
             "steps": total_steps, "seconds": dt,
             "ms_per_step": 1000 * dt / max(steps, 1),
             "backend": jax.default_backend()}
-    hist_path = ARTIFACTS / "training_history.json"
+    hist_path = ARTIFACTS / f"training_history{tag}.json"
     if start_step > 0 and hist_path.exists():
         old = json.loads(hist_path.read_text())
         o_stride = int(old.get("objective_step_stride", 1))
@@ -144,7 +146,7 @@ def train(steps: int, lr: float = 3e-4, enh_tag: str = ""):
 
 
 def evaluate(n_samples: int, jitter_k: int = 16, seed: int = 11,
-             split: str = "val"):
+             split: str = "val", tag: str = ""):
     """Quantitative evaluation of the denoising-NPPC directions (round 5,
     VERDICT r4 item 5): on held-out (noisy, clean) pairs, in FULL-BAND
     compressed-cIRM error space (the training objective's space modulo
@@ -182,7 +184,7 @@ def evaluate(n_samples: int, jitter_k: int = 16, seed: int = 11,
     # trained checkpoint loads unchanged
     cfg = NPPCDenoisingTrainConfig(model=_model_config(pc_groups=1))
     trainer = NPPCDenoisingTrainer(cfg, example_length=16384)
-    restored = CheckpointManager(str(CKPT)).restore(
+    restored = CheckpointManager(str(CKPT) + tag).restore(
         "latest", {"params": trainer.state.params,
                    "step": np.asarray(0)}, partial=True)
     assert restored is not None, "run train first"
@@ -381,8 +383,8 @@ def evaluate(n_samples: int, jitter_k: int = 16, seed: int = 11,
     }
     out_dir = ARTIFACTS / "validation"
     out_dir.mkdir(parents=True, exist_ok=True)
-    name = ("quantitative.json" if split == "val"
-            else f"quantitative_{split}.json")
+    name = (f"quantitative{tag}.json" if split == "val"
+            else f"quantitative_{split}{tag}.json")
     (out_dir / name).write_text(json.dumps(out, indent=2, default=float))
     print(json.dumps({k: v for k, v in out.items() if k != "samples"},
                      indent=2, default=float))
@@ -610,13 +612,21 @@ def main():
                         help="evaluate: held-out pairs (val), a fresh "
                         "train-distribution control batch (train), or the "
                         "exact first staged training batch (pool)")
+    parser.add_argument("--pool", type=int, default=50,
+                        help="train: staged mixture-batch pool size (the "
+                        "memorization lever — see the round-5 split "
+                        "controls in REPORT.md)")
+    parser.add_argument("--tag", default="",
+                        help="train/evaluate: checkpoint + artifact suffix")
     args = parser.parse_args()
     if args.stage == "train":
-        train(args.steps, lr=args.lr, enh_tag=args.enh_tag)
+        train(args.steps, lr=args.lr, enh_tag=args.enh_tag,
+              pool_n=args.pool, tag=args.tag)
     elif args.stage == "validate":
         validate(args.samples)
     elif args.stage == "evaluate":
-        evaluate(args.samples, jitter_k=args.jitter_k, split=args.split)
+        evaluate(args.samples, jitter_k=args.jitter_k, split=args.split,
+                 tag=args.tag)
     else:
         report()
 
