@@ -36,6 +36,12 @@ def mc_dropout_inference(apply_fn: Callable, variables, masked_spec,
     materializes all 50 passes' activations simultaneously (measured
     37.6 GB HBM inside the mc_pca_aligned train step — an OOM on a 16 GB
     chip); chunking bounds live activations to one chunk.
+
+    Per-pass dropout stays keyed by the same per-sample key under any
+    chunking (flax dropout is deterministic per key), but raw
+    jax.random SAMPLER bit-streams inside apply_fn may legally differ
+    between batching layouts — both are valid iid draws
+    (tests/test_nppc_validation.py::test_mc_dropout_chunked_matches_unchunked).
     """
     keys = jax.random.split(rng, n_samples)
 

@@ -34,6 +34,33 @@ def test_pca_matches_sklearn(rng):
         np.testing.assert_allclose(np.asarray(mean)[b], pca.mean_, atol=1e-5)
 
 
+def test_mc_dropout_chunked_matches_unchunked(rng):
+    """lax.map-chunked MC passes (the round-5 HBM fix: a 50-wide vmapped
+    UNet needs ~38 GB of simultaneous activations) must be bit-identical
+    to the one-shot vmap — same keys, same outputs, any chunk size
+    including non-dividing ones (largest-divisor fallback)."""
+    from generative_audio_tpu.eval.mc_dropout import mc_dropout_inference
+
+    x = jnp.asarray(rng.standard_normal((2, 1, 8, 10)).astype(np.float32))
+    mask = jnp.ones_like(x)
+
+    def apply_fn(variables, spec, m, rngs):
+        # derive the per-pass perturbation from the key BITS, not from a
+        # jax.random sampler: sampler bit-streams can legally differ
+        # between batching layouts, while flax's per-key dropout (the real
+        # consumer) is deterministic per key — key-bits model that
+        key = rngs["dropout"]
+        bits = jnp.asarray(jax.random.key_data(key), jnp.float32).sum()
+        return spec * m + 1e-9 * bits
+
+    key = jax.random.PRNGKey(3)
+    ref = np.asarray(mc_dropout_inference(apply_fn, {}, x, mask, key, 12))
+    for chunk in (1, 3, 4, 5, 12, 40):   # 5 exercises the divisor fallback
+        out = np.asarray(mc_dropout_inference(apply_fn, {}, x, mask, key,
+                                              12, chunk_size=chunk))
+        np.testing.assert_array_equal(out, ref, err_msg=f"chunk={chunk}")
+
+
 def test_principal_angles_match_torch(rng):
     import torch
     a = rng.standard_normal((1, 4, 8, 10)).astype(np.float32)
