@@ -134,8 +134,16 @@ class LoopIterator:
     def __iter__(self):
         steps = 0
         while steps < self.n_steps:
+            empty = True
             for batch in self.loader:
+                empty = False
                 if steps >= self.n_steps:
                     return
                 yield batch
                 steps += 1
+            if empty:
+                # e.g. BatchLoader(drop_last) over a dataset smaller than
+                # one batch: without this the while-loop spins forever
+                raise RuntimeError(
+                    "LoopIterator: underlying loader yielded no batches "
+                    "(dataset smaller than one batch with drop_last?)")

@@ -66,14 +66,35 @@ def _restoration_params(enh_tag: str = ""):
     return restored["params"]
 
 
-def stage_pool(n_batches: int, seed: int):
-    import jax
+def _mix_dataset(seed: int):
     from generative_audio_tpu.data import AudioDataset, AudioDataSetConfig
-    ds = AudioDataset(AudioDataSetConfig(
+    return AudioDataset(AudioDataSetConfig(
         clean_path=str(EQ_ROOT / "train" / "clean"),
         noisy_path=str(EQ_ROOT / "train" / "noise"),
         sub_sample_length_seconds=3.072, snr_range=(-5, 20),
         target_dB_FS=-25.0, target_dB_FS_floating_value=10.0), seed=seed)
+
+
+def fresh_loader(seed: int):
+    """On-the-fly mixing (`--pool 0`): the pool-size A/B's deployment
+    guidance made runnable. AudioDataset.__getitem__ draws a fresh
+    (subsample position, noise segment, SNR, gain) per access, so the
+    threaded-prefetch BatchLoader over it never repeats a mixture —
+    the same path the enhancement trainer trains on. Costs one ~3 MB
+    host->device transfer per step over the tunnel (vs the staged pool's
+    device-resident batches); BatchLoader prefetches the host mixing."""
+    from generative_audio_tpu.data import BatchLoader
+    ds = _mix_dataset(seed)
+    assert len(ds) >= BATCH, (
+        f"corpus has {len(ds)} clean files < batch {BATCH}; "
+        "BatchLoader(drop_last) would yield nothing")
+    return BatchLoader(ds, BATCH, shuffle=True, seed=seed + 1,
+                       num_workers=4)
+
+
+def stage_pool(n_batches: int, seed: int):
+    import jax
+    ds = _mix_dataset(seed)
     rng = np.random.default_rng(seed)
     pool = []
     for _ in range(n_batches):
@@ -104,10 +125,14 @@ def train(steps: int, lr: float = 3e-4, enh_tag: str = "",
         print(f"resumed from step {int(trainer.state.step)}")
     start_step = int(trainer.state.step)
     t0 = time.time()
-    pool = stage_pool(pool_n, seed=7)
-    print(f"staged {pool_n} batches in {time.time() - t0:.0f}s")
+    if pool_n == 0:
+        loader = fresh_loader(seed=7)
+        print("on-the-fly mixing (pool=0): fresh mixtures every step")
+    else:
+        loader = stage_pool(pool_n, seed=7)
+        print(f"staged {pool_n} batches in {time.time() - t0:.0f}s")
     t0 = time.time()
-    trainer.train(pool, n_steps=steps, log=print)
+    trainer.train(loader, n_steps=steps, log=print)
     dt = time.time() - t0
     total_steps = int(trainer.state.step)
     ARTIFACTS.mkdir(parents=True, exist_ok=True)
@@ -649,7 +674,8 @@ def main():
     parser.add_argument("--pool", type=int, default=50,
                         help="train: staged mixture-batch pool size (the "
                         "memorization lever — see the round-5 split "
-                        "controls in REPORT.md)")
+                        "controls in REPORT.md); 0 = on-the-fly mixing, "
+                        "a fresh mixture every step via BatchLoader")
     parser.add_argument("--tag", default="",
                         help="train/evaluate: checkpoint + artifact suffix")
     args = parser.parse_args()

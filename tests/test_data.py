@@ -255,6 +255,10 @@ def test_loop_iterator(corpus):
                            num_workers=1)
     loop = D.LoopIterator(loader, n_steps=12)
     assert len(list(loop)) == 12
+    # an empty underlying loader (e.g. dataset < one batch with drop_last)
+    # must raise, not spin forever re-entering empty epochs
+    with pytest.raises(RuntimeError, match="no batches"):
+        list(D.LoopIterator([], n_steps=3))
 
 
 def test_sample_generator(tmp_path, corpus):

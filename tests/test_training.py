@@ -271,6 +271,42 @@ def test_nppc_denoising_trainer(rng):
     assert len(losses) == 3 and np.isfinite(losses).all()
 
 
+def test_nppc_denoising_trainer_on_the_fly_loader(tmp_path):
+    """`denoising_nppc_e2e.py --pool 0` path: training straight from the
+    stochastic AudioDataset through BatchLoader, so every step sees a
+    fresh (subsample, noise, SNR) mixture — the round-5 pool-memorization
+    fix (artifacts/denoising_nppc/REPORT.md split controls)."""
+    from generative_audio_tpu import data as D
+    from generative_audio_tpu.models.nppc_model import (
+        DenoisingNPPCConfig, StftConfig)
+    from generative_audio_tpu.models import MultiDirectionConfig
+    clean_dir, noise_dir = D.write_synthetic_corpus(
+        tmp_path, n_clean=6, n_noise=2, seconds=0.5)
+    ds = D.AudioDataset(D.AudioDataSetConfig(
+        clean_path=str(clean_dir), noisy_path=str(noise_dir),
+        sub_sample_length_seconds=2048 / 16000), seed=0)
+    loader = D.BatchLoader(ds, 4, shuffle=True, seed=1, num_workers=2)
+    # the property --pool 0 relies on: re-iterating the SAME loader draws
+    # new mixtures (stochastic __getitem__), so no batch is ever reused
+    a = next(iter(loader))
+    b = next(iter(loader))
+    assert a[0].shape == (4, 2048) and not np.allclose(a[0], b[0])
+    tiny_md = MultiDirectionConfig(
+        num_freqs=32, sb_num_neighbors=2, fb_model_hidden_size=16,
+        sb_model_hidden_size=8, num_groups_in_drop_band=2, n_directions=2)
+    tiny_restoration = FullSubNetPlusConfig(
+        num_freqs=32, sb_num_neighbors=2, fb_model_hidden_size=16,
+        sb_model_hidden_size=8, num_groups_in_drop_band=1)
+    cfg = T.NPPCDenoisingTrainConfig(
+        model=DenoisingNPPCConfig(
+            restoration=tiny_restoration, pc_wrapper=tiny_md,
+            stft=StftConfig(nfft=62, hop_length=32, win_length=62)),
+        second_moment_loss_grace=4)
+    trainer = T.NPPCDenoisingTrainer(cfg, example_length=2048)
+    losses = trainer.train(loader, n_steps=3, log=lambda *a: None)
+    assert len(losses) == 3 and np.isfinite(losses).all()
+
+
 def test_enhance_trainer_fullsubnet_v1(rng):
     """v1 (mag-only) training line (fullsubnet/trainer/trainer.py:14-146)."""
     from generative_audio_tpu.models.fullsubnet import FullSubNetConfig
